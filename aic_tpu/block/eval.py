@@ -1,0 +1,452 @@
+"""Host-side block evaluation: Block → EvaluatedBlock (layer 1).
+
+Equivalent of the reference's `Block::evaluate` pipeline
+(all-is-cubes/src/block.rs:568 → block/eval/): flatten a block's primitive
+(following Indirect → BlockDef, extracting Recur voxels from a Space,
+rasterizing Text), apply modifiers left→right, then derive aggregate data
+(mean color, per-face colors, per-face opacity, emission, visibility) via
+the same per-face mini-raytrace as eval/derived.rs:78 — here vectorized
+with numpy over whole faces instead of per-pixel loops.
+
+Evaluation is budget-limited (eval/control.rs:74) to cap runaway recursive
+blocks; exceeding the budget yields the error block like the reference's
+`InEvalError` → error-voxel fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..math.grid import GridAab, ROTATION_MATRICES, rotate_voxel_array
+from . import model
+from .model import AIR, Block, BlockAttributes, COLLISION_HARD, COLLISION_NONE
+
+#: Budget in evaluation cost units (components + voxels), mirroring
+#: eval/control.rs's Budget { components, voxels }.
+DEFAULT_BUDGET_VOXELS = 64 * 64 * 128
+DEFAULT_BUDGET_COMPONENTS = 1000
+
+
+class EvalBudgetExceeded(Exception):
+    pass
+
+
+@dataclass
+class _Budget:
+    voxels: int = DEFAULT_BUDGET_VOXELS
+    components: int = DEFAULT_BUDGET_COMPONENTS
+
+    def spend_components(self, n: int = 1):
+        self.components -= n
+        if self.components < 0:
+            raise EvalBudgetExceeded()
+
+    def spend_voxels(self, n: int):
+        self.voxels -= n
+        if self.voxels < 0:
+            raise EvalBudgetExceeded()
+
+
+@dataclass
+class Evoxels:
+    """Dense voxel data of an evaluated block (eval/voxel_storage.rs:189).
+
+    Always stored as full R³ arrays; regions the source didn't cover are
+    air (the reference keeps a sub-`Vol` + implicit air; dense is the
+    array-native equivalent).
+    """
+
+    resolution: int
+    color: np.ndarray  # f32 [R,R,R,4] linear straight-alpha RGBA
+    emission: np.ndarray  # f32 [R,R,R,3]
+    selectable: np.ndarray  # bool [R,R,R]
+    collision: np.ndarray  # u8 [R,R,R]
+
+    @staticmethod
+    def uniform(color, emission=(0, 0, 0), selectable=True, collision=COLLISION_HARD, resolution=1):
+        r = resolution
+        return Evoxels(
+            resolution=r,
+            color=np.broadcast_to(np.asarray(color, np.float32), (r, r, r, 4)).copy(),
+            emission=np.broadcast_to(np.asarray(emission, np.float32), (r, r, r, 3)).copy(),
+            selectable=np.full((r, r, r), selectable, bool),
+            collision=np.full((r, r, r), collision, np.uint8),
+        )
+
+    @staticmethod
+    def air(resolution=1):
+        return Evoxels.uniform((0, 0, 0, 0), selectable=False, collision=COLLISION_NONE,
+                               resolution=resolution)
+
+
+@dataclass
+class EvaluatedBlock:
+    """Block ready for rendering/physics (eval/evaluated.rs:37)."""
+
+    attributes: BlockAttributes
+    voxels: Evoxels
+    # Derived (eval/derived.rs:31):
+    color: np.ndarray  # f32[4] mean RGBA
+    face_colors: np.ndarray  # f32[6,4] per-face mean RGBA
+    light_emission: np.ndarray  # f32[3]
+    opaque: np.ndarray  # bool[6]
+    visible: bool
+    uniform_collision: Optional[int]
+    cost: int = 0
+
+    @property
+    def resolution(self) -> int:
+        return self.voxels.resolution
+
+    def visible_or_animated(self) -> bool:
+        """evaluated.rs:252."""
+        return self.visible or self.attributes.animated
+
+    def face7_color(self, face: int) -> np.ndarray:
+        """evaluated.rs:267: per-face color, mean color for WITHIN."""
+        if 0 <= face < 6:
+            return self.face_colors[face]
+        return self.color
+
+    def opaque_for_light(self) -> bool:
+        """updater.rs:1025 `opaque_for_light_computation`."""
+        return bool(self.opaque.all()) and not self.light_emission.any()
+
+
+# ---------------------------------------------------------------------------
+# Derived computation (vectorized eval/derived.rs:78)
+
+
+def _apply_transmittance(rgba: np.ndarray, thickness: float):
+    """Vectorized raytracer_components.rs:215 `apply_transmittance`.
+
+    rgba: [..., 4]. Returns (adjusted rgba [...,4], emission_coeff [...]).
+    """
+    alpha = np.clip(rgba[..., 3], 0.0, 1.0)
+    unit_transmittance = 1.0 - alpha
+    depth_transmittance = unit_transmittance**thickness
+    out_alpha = 1.0 - depth_transmittance
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(
+            unit_transmittance == 1.0,
+            thickness,
+            (depth_transmittance - 1.0) / (unit_transmittance - 1.0),
+        )
+    out = np.concatenate([rgba[..., :3], out_alpha[..., None]], axis=-1)
+    return out.astype(np.float32), np.maximum(coeff, 0.0).astype(np.float32)
+
+
+def _trace_face(color: np.ndarray, emission: np.ndarray, face: int):
+    """Trace all rays entering through `face` (raytracer_components.rs:174).
+
+    Returns (rgba [N,4] premult-resolved to straight alpha, emission [N,3])
+    for the R² face pixels.
+    """
+    r = color.shape[0]
+    axis = face % 3
+    # Reorder so the trace axis is axis 0, oriented from the entry face inward.
+    c = np.moveaxis(color, axis, 0)
+    e = np.moveaxis(emission, axis, 0)
+    if face >= 3:  # positive face: enter at index R-1 moving inward (negative)
+        c = c[::-1]
+        e = e[::-1]
+    thickness = 1.0 / r
+    c_adj, coeff = _apply_transmittance(c, thickness)
+    a = np.clip(c_adj[..., 3], 0.0, 1.0)
+    # Transmittance before each layer: cumulative product of (1 - a) above.
+    trans_before = np.cumprod(1.0 - a, axis=0)
+    trans_before = np.concatenate([np.ones_like(trans_before[:1]), trans_before[:-1]], axis=0)
+    premult_rgb = (c_adj[..., :3] * a[..., None] * trans_before[..., None]).sum(axis=0)
+    alpha_out = 1.0 - np.prod(1.0 - a, axis=0)
+    emission_out = (e * coeff[..., None] * trans_before[..., None]).sum(axis=0)
+    rgba = np.concatenate([premult_rgb, alpha_out[..., None]], axis=-1)
+    return rgba.reshape(-1, 4), emission_out.reshape(-1, 3)
+
+
+def compute_derived(attributes: BlockAttributes, voxels: Evoxels) -> EvaluatedBlock:
+    """eval/derived.rs:78 `compute_derived`, vectorized."""
+    r = voxels.resolution
+    color = voxels.color
+    alpha = color[..., 3]
+
+    face_colors = np.zeros((6, 4), np.float32)
+    all_color_sum = np.zeros(3, np.float64)
+    all_alpha_sum = 0.0
+    all_emission_sum = np.zeros(3, np.float64)
+    for face in range(6):
+        rgba, emi = _trace_face(color, voxels.emission, face)
+        # VoxSum::color (derived.rs:227): un-premultiply by alpha sum;
+        # alpha averaged over the full face area.
+        # VoxSum (derived.rs:227): rgb = Σ premultiplied light / Σ alpha;
+        # alpha = Σ alpha / full face area. Our rgba[:, :3] is already the
+        # premultiplied trace result.
+        asum = rgba[:, 3].sum()
+        if asum > 0:
+            fc_rgb = rgba[:, :3].sum(axis=0) / asum
+            face_colors[face] = np.concatenate(
+                [fc_rgb, [min(asum / (r * r), 1.0)]]
+            )
+        all_color_sum += (rgba[:, :3]).sum(axis=0)
+        all_alpha_sum += asum
+        all_emission_sum += emi.sum(axis=0)
+
+    surface_area = 6.0 * r * r
+    if all_alpha_sum > 0:
+        mean_rgb = all_color_sum / all_alpha_sum
+        mean_color = np.concatenate(
+            [mean_rgb, [min(all_alpha_sum / surface_area, 1.0)]]
+        ).astype(np.float32)
+    else:
+        mean_color = np.zeros(4, np.float32)
+    light_emission = (all_emission_sum / surface_area).astype(np.float32)
+
+    # opaque per face (derived.rs:195): the face's surface layer is fully
+    # opaque everywhere.
+    opaque = np.zeros(6, bool)
+    for face in range(6):
+        axis = face % 3
+        layer = np.moveaxis(alpha, axis, 0)[-1 if face >= 3 else 0]
+        opaque[face] = bool((layer >= 1.0).all())
+
+    visible = bool((alpha > 0).any() or (voxels.emission != 0).any())
+
+    coll = voxels.collision
+    uniform_collision = int(coll.flat[0]) if (coll == coll.flat[0]).all() else None
+
+    return EvaluatedBlock(
+        attributes=attributes,
+        voxels=voxels,
+        color=mean_color,
+        face_colors=face_colors,
+        light_emission=light_emission,
+        opaque=opaque,
+        visible=visible,
+        uniform_collision=uniform_collision,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Primitive + modifier evaluation (block.rs:631 evaluate_impl)
+
+_ERROR_BLOCK_COLOR = np.array([1.0, 0.0, 0.5, 1.0], np.float32)
+
+
+def evaluate(block: Block, budget: Optional[_Budget] = None, _depth: int = 0) -> EvaluatedBlock:
+    """Evaluate a block to renderable voxels (block.rs:568).
+
+    On budget exhaustion or recursion failure, returns the magenta error
+    block like the reference's error-fallback path.
+    """
+    if budget is None:
+        budget = _Budget()
+    try:
+        return _evaluate_impl(block, budget, _depth)
+    except EvalBudgetExceeded:
+        return compute_derived(
+            block.attributes, Evoxels.uniform(_ERROR_BLOCK_COLOR)
+        )
+
+
+def _evaluate_impl(block: Block, budget: _Budget, depth: int) -> EvaluatedBlock:
+    if depth > 32:
+        raise EvalBudgetExceeded()
+    budget.spend_components()
+    attributes = block.attributes
+    voxels = _evaluate_primitive(block.primitive, budget, depth)
+
+    for modifier in block.modifiers:
+        budget.spend_components()
+        attributes, voxels = _apply_modifier(modifier, attributes, voxels, budget, depth)
+
+    return compute_derived(attributes, voxels)
+
+
+def _evaluate_primitive(primitive, budget: _Budget, depth: int) -> Evoxels:
+    if isinstance(primitive, model.AirPrimitive):
+        return Evoxels.air()
+    if isinstance(primitive, model.Atom):
+        return Evoxels.uniform(
+            np.asarray(primitive.color, np.float32),
+            np.asarray(primitive.emission, np.float32),
+            collision=primitive.collision,
+        )
+    if isinstance(primitive, model.Indirect):
+        bd = primitive.block_def
+        if bd._cache is not None and bd._cache_epoch == bd.epoch:
+            ev = bd._cache
+        else:
+            ev = _evaluate_impl(bd.block, budget, depth + 1)
+            bd._cache = ev
+            bd._cache_epoch = bd.epoch
+        return ev.voxels
+    if isinstance(primitive, model.Recur):
+        return _evaluate_recur(primitive, budget, depth)
+    if isinstance(primitive, model.TextPrimitive):
+        return _evaluate_text(primitive, budget)
+    raise TypeError(f"unknown primitive {primitive!r}")
+
+
+def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evoxels:
+    """Extract an R³ region of a Space as voxels (block.rs Primitive::Recur).
+
+    Each cube of the source space becomes one voxel, taking the evaluated
+    block's single-voxel representation (or, when the source block is itself
+    multi-voxel, its mean color — matching `Space::extract`'s Evoxel::from
+    behavior at resolution granularity).
+    """
+    r = primitive.resolution
+    budget.spend_voxels(r * r * r)
+    space = primitive.space
+    out = Evoxels.air(resolution=r)
+    lx, ly, lz = primitive.offset
+    for x, y, z in GridAab.cube(r).interior_iter():
+        cube = (lx + x, ly + y, lz + z)
+        if not space.bounds.contains_cube(cube):
+            continue
+        ev = space.evaluated_block_at(cube)
+        vox = ev.voxels
+        if vox.resolution == 1:
+            out.color[x, y, z] = vox.color[0, 0, 0]
+            out.emission[x, y, z] = vox.emission[0, 0, 0]
+            out.selectable[x, y, z] = vox.selectable[0, 0, 0]
+            out.collision[x, y, z] = vox.collision[0, 0, 0]
+        else:
+            out.color[x, y, z] = ev.color
+            out.emission[x, y, z] = ev.light_emission
+            out.selectable[x, y, z] = ev.attributes.selectable
+            out.collision[x, y, z] = (
+                ev.uniform_collision if ev.uniform_collision is not None else COLLISION_HARD
+            )
+    return out
+
+
+# Minimal 5x7 font for TextPrimitive; glyphs for chars content uses.
+_FONT_5X7 = {
+    " ": [],
+}
+
+
+def _evaluate_text(primitive: model.TextPrimitive, budget: _Budget) -> Evoxels:
+    r = primitive.resolution
+    budget.spend_voxels(r * r * r)
+    out = Evoxels.air(resolution=r)
+    # Round-1 rendering: one solid layer spelling nothing (placeholder
+    # keeping the API shape); real font rasterization is planned work.
+    out.color[:, : r // 8 + 1, :] = np.asarray(primitive.color, np.float32)
+    out.collision[:, : r // 8 + 1, :] = COLLISION_NONE
+    return out
+
+
+def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, depth: int):
+    if isinstance(modifier, model.Rotate):
+        rot = ROTATION_MATRICES[modifier.rotation]
+        return attributes, Evoxels(
+            resolution=voxels.resolution,
+            color=rotate_voxel_array(voxels.color, rot),
+            emission=rotate_voxel_array(voxels.emission, rot),
+            selectable=rotate_voxel_array(voxels.selectable, rot),
+            collision=rotate_voxel_array(voxels.collision, rot),
+        )
+    if isinstance(modifier, model.Composite):
+        src_ev = _evaluate_impl(modifier.source, budget, depth + 1)
+        dst = voxels
+        src = src_ev.voxels
+        if modifier.reverse:
+            src, dst = dst, src
+        return attributes, _composite_over(src, dst)
+    if isinstance(modifier, model.Quote):
+        return (
+            model.BlockAttributes(
+                display_name=attributes.display_name,
+                selectable=attributes.selectable,
+                animated=attributes.animated,
+            ),
+            voxels,
+        )
+    if isinstance(modifier, model.SetAttributes):
+        return modifier.attributes, voxels
+    if isinstance(modifier, model.Zoom):
+        return attributes, _zoom(voxels, modifier)
+    if isinstance(modifier, model.Move):
+        return attributes, _move(voxels, modifier)
+    raise TypeError(f"unknown modifier {modifier!r}")
+
+
+def _unify_resolution(a: Evoxels, b: Evoxels):
+    r = max(a.resolution, b.resolution)
+    return _upsample(a, r), _upsample(b, r)
+
+
+def _upsample(v: Evoxels, r: int) -> Evoxels:
+    if v.resolution == r:
+        return v
+    k = r // v.resolution
+    rep = lambda arr: np.repeat(np.repeat(np.repeat(arr, k, 0), k, 1), k, 2)
+    return Evoxels(r, rep(v.color), rep(v.emission), rep(v.selectable), rep(v.collision))
+
+
+def _composite_over(src: Evoxels, dst: Evoxels) -> Evoxels:
+    """Per-voxel 'source over destination' (composite.rs CompositeOperator::Over)."""
+    src, dst = _unify_resolution(src, dst)
+    sa = src.color[..., 3:4]
+    out_a = sa + dst.color[..., 3:4] * (1 - sa)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out_rgb = np.where(
+            out_a > 0,
+            (src.color[..., :3] * sa + dst.color[..., :3] * dst.color[..., 3:4] * (1 - sa))
+            / np.maximum(out_a, 1e-9),
+            0.0,
+        )
+    return Evoxels(
+        src.resolution,
+        np.concatenate([out_rgb, out_a], axis=-1).astype(np.float32),
+        (src.emission + dst.emission * (1 - sa)).astype(np.float32),
+        src.selectable | dst.selectable,
+        np.maximum(src.collision, dst.collision),
+    )
+
+
+def _zoom(v: Evoxels, m: model.Zoom) -> Evoxels:
+    """Magnify a 1/scale sub-cube to fill the block (zoom.rs)."""
+    r = v.resolution
+    sub = r // m.scale
+    ox, oy, oz = (o * sub for o in m.offset)
+    crop = lambda a: a[ox : ox + sub, oy : oy + sub, oz : oz + sub]
+    cropped = Evoxels(sub, crop(v.color), crop(v.emission), crop(v.selectable), crop(v.collision))
+    return _upsample(cropped, r)
+
+
+def _move(v: Evoxels, m: model.Move) -> Evoxels:
+    """Translate with cropping (move.rs): distance in 1/256 cube units."""
+    r = v.resolution
+    shift_voxels = int(round(m.distance / 256.0 * r))
+    axis = m.face % 3
+    sign = 1 if m.face >= 3 else -1
+    out = Evoxels.air(resolution=r)
+    s = sign * shift_voxels
+    if abs(s) >= r:
+        return out
+
+    def shifted(dst, src):
+        idx_dst = [slice(None)] * 3
+        idx_src = [slice(None)] * 3
+        if s >= 0:
+            idx_dst[axis] = slice(s, r)
+            idx_src[axis] = slice(0, r - s)
+        else:
+            idx_dst[axis] = slice(0, r + s)
+            idx_src[axis] = slice(-s, r)
+        dst[tuple(idx_dst)] = src[tuple(idx_src)]
+
+    shifted(out.color, v.color)
+    shifted(out.emission, v.emission)
+    shifted(out.selectable, v.selectable)
+    shifted(out.collision, v.collision)
+    return out
+
+
+#: The evaluation of AIR, used as palette slot 0 everywhere.
+AIR_EVALUATED = compute_derived(AIR.attributes, Evoxels.air())

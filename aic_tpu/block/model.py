@@ -1,0 +1,224 @@
+"""Block data model (layer 1, host side).
+
+Equivalent of the reference's `Block = Primitive + Vec<Modifier>`
+(all-is-cubes/src/block.rs:94,118-185; block/modifier/mod.rs:71-108).
+
+Blocks are *content-time* objects: they are defined on the host, evaluated
+(eval.py) into dense voxel arrays, and only those arrays ever reach the TPU.
+This mirrors the reference's split where `Block::evaluate` runs rarely (on
+content changes) while the per-frame loops consume only `EvaluatedBlock`
+data.
+
+Primitives: AIR, Atom, Recur, Indirect (via BlockDef), Text (stub for now).
+Modifiers: Rotate, Composite, Zoom, Move, Quote, SetAttributes, Inventory
+(the last is a stub in round 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+import numpy as np
+
+from ..math import grid
+
+# Collision classes (reference block::BlockCollision)
+COLLISION_NONE = 0
+COLLISION_HARD = 1
+
+
+@dataclass(frozen=True)
+class BlockAttributes:
+    """Subset of reference `BlockAttributes` (block/attributes.rs).
+
+    `tick_action`/`activation_action` hold `Operation`s (universe/op.py)
+    plus a schedule period in ticks.
+    """
+
+    display_name: str = "<unnamed>"
+    selectable: bool = True
+    # Operation to perform on a schedule (reference `tick_action`).
+    tick_action: Optional[Any] = None
+    tick_period: int = 1
+    # Operation performed when the block is activated by a tool.
+    activation_action: Optional[Any] = None
+    # Whether renderers should expect this block to change appearance
+    # without palette changes (reference AnimationHint::might_become_visible
+    # feeds visible_or_animated, evaluated.rs:252).
+    animated: bool = False
+    rotation_rule: str = "never"  # "never" | "attach"
+
+
+DEFAULT_ATTRIBUTES = BlockAttributes()
+
+
+class Primitive:
+    """Marker base class for block primitives (block.rs:118)."""
+
+
+@dataclass(frozen=True)
+class AirPrimitive(Primitive):
+    """The ubiquitous empty block (block.rs Primitive::Air)."""
+
+
+@dataclass(frozen=True)
+class Atom(Primitive):
+    """A uniform unit cube of material (block.rs Primitive::Atom).
+
+    color: linear RGBA (straight alpha); emission: linear RGB luminance
+    emitted by a unit-thickness layer (block::Atom::emission semantics).
+    """
+
+    color: tuple[float, float, float, float]
+    emission: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    collision: int = COLLISION_HARD
+
+
+@dataclass(frozen=True)
+class Recur(Primitive):
+    """Block defined by voxels drawn from a region of a Space
+    (block.rs Primitive::Recur {space, offset, resolution})."""
+
+    space: Any  # aic_tpu.space.Space (kept loose to avoid layer cycle)
+    resolution: int = 16
+    offset: tuple[int, int, int] = (0, 0, 0)
+
+    def __hash__(self):
+        return hash((id(self.space), self.resolution, self.offset))
+
+
+@dataclass(frozen=True)
+class Indirect(Primitive):
+    """Reference to a named BlockDef (block.rs Primitive::Indirect)."""
+
+    block_def: "BlockDef"
+
+    def __hash__(self):
+        return hash(id(self.block_def))
+
+
+@dataclass(frozen=True)
+class TextPrimitive(Primitive):
+    """Voxel text (block/text.rs). Rasterized by eval via a tiny built-in
+    5x7 bitmap font rather than the reference's font stack."""
+
+    text: str
+    resolution: int = 16
+    color: tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+
+
+class Modifier:
+    """Marker base class for block modifiers (block/modifier/mod.rs:71)."""
+
+
+@dataclass(frozen=True)
+class Rotate(Modifier):
+    """Rotate the block by one of the 48 grid rotations
+    (block/modifier: Modifier::Rotate)."""
+
+    rotation: int  # index into math.grid.ROTATION_MATRICES
+
+
+@dataclass(frozen=True)
+class Composite(Modifier):
+    """Combine with another block voxel-by-voxel
+    (block/modifier/composite.rs). `operator` is 'over' (src over dst) or
+    'in'/'atop' subset of the reference's ops; 'over' is what content uses.
+    """
+
+    source: "Block"
+    operator: str = "over"
+    reverse: bool = False
+
+    def __hash__(self):
+        return hash((id(self.source), self.operator, self.reverse))
+
+
+@dataclass(frozen=True)
+class Zoom(Modifier):
+    """Magnify 1/scale portion of the block (block/modifier/zoom.rs)."""
+
+    scale: int
+    offset: tuple[int, int, int]
+
+
+@dataclass(frozen=True)
+class Move(Modifier):
+    """Displace block contents with cropping (block/modifier/move.rs).
+
+    distance is in 1/256ths of a cube along `face`.
+    """
+
+    face: int
+    distance: int
+    velocity: int = 0
+
+
+@dataclass(frozen=True)
+class Quote(Modifier):
+    """Suppress all behaviors (block/modifier/quote.rs); used by tools to
+    carry blocks inertly. Evaluation strips tick/activation actions."""
+
+    suppress_ambient: bool = False
+
+
+@dataclass(frozen=True)
+class SetAttributes(Modifier):
+    attributes: BlockAttributes
+
+
+@dataclass(frozen=True)
+class Block:
+    """A placeable block: primitive + modifier stack (block.rs:94)."""
+
+    primitive: Primitive
+    attributes: BlockAttributes = DEFAULT_ATTRIBUTES
+    modifiers: tuple[Modifier, ...] = ()
+
+    def with_modifier(self, m: Modifier) -> "Block":
+        return replace(self, modifiers=self.modifiers + (m,))
+
+    def rotate(self, rotation: int) -> "Block":
+        return self.with_modifier(Rotate(rotation))
+
+    def with_attributes(self, **kw) -> "Block":
+        return replace(self, attributes=replace(self.attributes, **kw))
+
+    def __hash__(self):
+        return hash((self.primitive, self.attributes, self.modifiers))
+
+
+class BlockDef:
+    """A named, cached block definition, the target of `Indirect`
+    (block/block_def.rs). Cache is invalidated by `touch()` — the listener
+    plumbing of the reference becomes explicit invalidation since all
+    mutation flows through our transaction commit points."""
+
+    def __init__(self, block: Block, name: str = "<anonymous>"):
+        self.block = block
+        self.name = name
+        self._cache = None
+        self._cache_epoch = -1
+        self.epoch = 0
+
+    def touch(self):
+        self.epoch += 1
+
+    def redefine(self, block: Block):
+        self.block = block
+        self.touch()
+
+
+AIR = Block(AirPrimitive(), BlockAttributes(display_name="<air>", selectable=False))
+
+
+def from_color(color, display_name="block", emission=(0.0, 0.0, 0.0), **attr_kw) -> Block:
+    """Convenience: solid-color atom block (block/builder.rs path)."""
+    color = tuple(float(c) for c in color)
+    if len(color) == 3:
+        color = color + (1.0,)
+    return Block(
+        Atom(color=color, emission=tuple(float(e) for e in emission)),
+        BlockAttributes(display_name=display_name, **attr_kw),
+    )

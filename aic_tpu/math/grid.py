@@ -1,0 +1,158 @@
+"""Integer grid geometry (layer 0): GridAab, Z-major volumes, rotations.
+
+Equivalent of the reference's `GridAab`/`Vol`/`Cube`/`GridRotation`
+(all-is-cubes-base/src/math/{grid_aab.rs:20, vol.rs:52, cube.rs:45,
+rotation.rs:42}), re-designed for array programming:
+
+- A `GridAab` is a small host-side value object (lower bounds + size).
+- Volume data is *not* wrapped: a Space's contents are plain arrays indexed
+  ``[x, y, z]`` whose origin corresponds to ``aab.lower``. The reference's
+  Z-major linearization (vol.rs:274) corresponds to C-order of an (X, Y, Z)
+  array, which we keep so serialized payloads are interchangeable.
+- The 48 axis-aligned rotations (rotation.rs:42) are represented as signed
+  permutation matrices.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class GridAab:
+    """Axis-aligned integer box: cubes with lower <= cube < upper.
+
+    grid_aab.rs:20. Arithmetic is checked by numpy int64 on host; device code
+    only ever sees sizes/offsets derived here.
+    """
+
+    lower: tuple[int, int, int]
+    size: tuple[int, int, int]
+
+    def __post_init__(self):
+        if any(s < 0 for s in self.size):
+            raise ValueError(f"negative GridAab size {self.size}")
+
+    @staticmethod
+    def from_lower_upper(lower, upper) -> "GridAab":
+        lower = tuple(int(c) for c in lower)
+        upper = tuple(int(c) for c in upper)
+        return GridAab(lower, tuple(u - l for l, u in zip(lower, upper)))
+
+    @staticmethod
+    def from_lower_size(lower, size) -> "GridAab":
+        return GridAab(tuple(int(c) for c in lower), tuple(int(s) for s in size))
+
+    @staticmethod
+    def for_block(resolution: int) -> "GridAab":
+        """[0, R)³ — the voxel bounds of a block (grid_aab.rs:230)."""
+        return GridAab((0, 0, 0), (resolution, resolution, resolution))
+
+    @staticmethod
+    def cube(size: int) -> "GridAab":
+        return GridAab((0, 0, 0), (size, size, size))
+
+    @property
+    def upper(self) -> tuple[int, int, int]:
+        return tuple(l + s for l, s in zip(self.lower, self.size))
+
+    def volume(self) -> int:
+        x, y, z = self.size
+        return x * y * z
+
+    def is_empty(self) -> bool:
+        return self.volume() == 0
+
+    def contains_cube(self, cube) -> bool:
+        return all(l <= c < u for l, c, u in zip(self.lower, cube, self.upper))
+
+    def contains_box(self, other: "GridAab") -> bool:
+        if other.is_empty():
+            return True
+        return all(
+            sl <= ol and ou <= su
+            for sl, ol, ou, su in zip(self.lower, other.lower, other.upper, self.upper)
+        )
+
+    def intersection(self, other: "GridAab") -> "GridAab":
+        lower = tuple(max(a, b) for a, b in zip(self.lower, other.lower))
+        upper = tuple(max(l, min(a, b)) for l, a, b in zip(lower, self.upper, other.upper))
+        return GridAab.from_lower_upper(lower, upper)
+
+    def union(self, other: "GridAab") -> "GridAab":
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        lower = tuple(min(a, b) for a, b in zip(self.lower, other.lower))
+        upper = tuple(max(a, b) for a, b in zip(self.upper, other.upper))
+        return GridAab.from_lower_upper(lower, upper)
+
+    def translate(self, offset) -> "GridAab":
+        return GridAab(tuple(l + int(o) for l, o in zip(self.lower, offset)), self.size)
+
+    def expand(self, by: int) -> "GridAab":
+        return GridAab.from_lower_upper(
+            tuple(l - by for l in self.lower), tuple(u + by for u in self.upper)
+        )
+
+    def interior_iter(self):
+        """Iterate cubes in Z-major order (x outer, z inner), as vol.rs ZMaj."""
+        lx, ly, lz = self.lower
+        sx, sy, sz = self.size
+        return (
+            (lx + i, ly + j, lz + k)
+            for i in range(sx)
+            for j in range(sy)
+            for k in range(sz)
+        )
+
+    def to_slices(self, within: "GridAab"):
+        """Index slices of this box relative to a containing box's array."""
+        off = tuple(l - wl for l, wl in zip(self.lower, within.lower))
+        return tuple(slice(o, o + s) for o, s in zip(off, self.size))
+
+
+# ---------------------------------------------------------------------------
+# Rotations: the 48 signed axis permutations (rotation.rs:42 GridRotation).
+
+def _all_rotation_matrices() -> np.ndarray:
+    """All 48 signed permutation matrices, rotations first (det=+1)."""
+    mats = []
+    for perm in itertools.permutations(range(3)):
+        for signs in itertools.product((1, -1), repeat=3):
+            m = np.zeros((3, 3), np.int32)
+            for row, (axis, sign) in enumerate(zip(perm, signs)):
+                m[row, axis] = sign
+            mats.append(m)
+    mats = np.stack(mats)
+    det = np.round(np.linalg.det(mats)).astype(int)
+    order = np.argsort(-det, kind="stable")  # rotations (det=1) first
+    return mats[order]
+
+
+ROTATION_MATRICES = _all_rotation_matrices()
+IDENTITY_ROTATION = int(
+    np.nonzero((ROTATION_MATRICES == np.eye(3, dtype=np.int32)).all(axis=(1, 2)))[0][0]
+)
+
+
+def rotate_voxel_array(arr: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    """Rotate a cubical voxel array [R,R,R,...] by a signed permutation.
+
+    Equivalent to the reference's `Modifier::Rotate` permuting a `Vol`
+    (block/modifier/rotate via vol transform): voxel at position p moves to
+    rot·(p - c) + c where c is the cube center.
+    """
+    assert arr.shape[0] == arr.shape[1] == arr.shape[2]
+    perm = [int(np.nonzero(rot[row])[0][0]) for row in range(3)]
+    signs = [int(rot[row, perm[row]]) for row in range(3)]
+    # out[p] = in[rot^-1 p]; build by moving axes then flipping.
+    out = np.transpose(arr, axes=perm + list(range(3, arr.ndim)))
+    for row in range(3):
+        if signs[row] < 0:
+            out = np.flip(out, axis=row)
+    return out

@@ -1,0 +1,270 @@
+"""Host-authoritative Space container + palette (layer 1).
+
+Equivalent of the reference's `Space` + `Palette`
+(all-is-cubes/src/space.rs:102, space/palette.rs): a bounded 3-D array of
+palette-compressed block indices with physics parameters and behaviors.
+
+Division of labor (TPU-first): the host object is where *content* happens —
+construction, palette dedup, block evaluation, save/load. The result of
+`snapshot()` is a `SpaceState` pytree of device arrays on which all
+per-frame work (render, relight, physics, transaction commits) runs. The
+reference's change-notification `listen` fabric (listen.rs) becomes the
+`light_dirty` priority field plus a monotonically increasing `epoch` that
+renderers use to know when to re-snapshot palette tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..block import AIR, AIR_EVALUATED, Block, EvaluatedBlock, evaluate
+from ..math import lightpack
+from ..math.grid import GridAab
+from .sky import Sky
+from .state import BlockTables, SpaceState
+
+#: space.rs:77 `BlockIndex = u16`.
+MAX_PALETTE = 65536
+
+
+@dataclass
+class SpacePhysics:
+    """space/physics.rs:27: gravity, sky, light physics."""
+
+    gravity: tuple[float, float, float] = (0.0, -20.0, 0.0)
+    sky: Sky = dc_field(default_factory=Sky.default)
+    light_enabled: bool = True
+    light_max_distance: int = 30  # physics.rs:103 LightPhysics::Rays default
+
+    @staticmethod
+    def default_for_light_test() -> "SpacePhysics":
+        return SpacePhysics()
+
+
+class Space:
+    def __init__(
+        self,
+        bounds: GridAab,
+        physics: Optional[SpacePhysics] = None,
+        fill: Optional[Block] = None,
+    ):
+        self.bounds = bounds
+        self.physics = physics or SpacePhysics()
+        self._palette: list[Block] = [AIR]
+        self._evaluated: list[EvaluatedBlock] = [AIR_EVALUATED]
+        self._block_to_index: dict = {AIR: 0}
+        self.contents = np.zeros(bounds.size, np.uint16)
+        self.light = np.zeros(bounds.size + (4,), np.uint8)
+        self.light_dirty = np.zeros(bounds.size, np.uint8)
+        self.behaviors: list = []
+        self.spawn_position: Optional[tuple] = None
+        self.epoch = 0  # bumped on palette/table changes
+        if fill is not None and fill is not AIR:
+            self.fill(bounds, fill)
+
+    # -- palette ------------------------------------------------------------
+
+    @property
+    def palette(self) -> list[Block]:
+        return list(self._palette)
+
+    def palette_len(self) -> int:
+        return len(self._palette)
+
+    def ensure_block(self, block: Block) -> int:
+        """Dedup-intern a block, evaluating it (space/palette.rs)."""
+        idx = self._block_to_index.get(block)
+        if idx is not None:
+            return idx
+        if len(self._palette) >= MAX_PALETTE:
+            raise ValueError("palette full (65536 blocks)")
+        self._palette.append(block)
+        self._evaluated.append(evaluate(block))
+        idx = len(self._palette) - 1
+        self._block_to_index[block] = idx
+        self.epoch += 1
+        return idx
+
+    def reevaluate_palette(self):
+        """Re-run evaluation for all palette entries (the `Synchronize`
+        phase of universe stepping re-evaluating changed BlockDefs,
+        space/step.rs:76)."""
+        self._evaluated = [evaluate(b) for b in self._palette]
+        self.epoch += 1
+
+    def evaluated(self, index: int) -> EvaluatedBlock:
+        return self._evaluated[index]
+
+    def evaluated_block_at(self, cube) -> EvaluatedBlock:
+        return self._evaluated[int(self.contents[self._rel(cube)])]
+
+    def block_at(self, cube) -> Block:
+        return self._palette[int(self.contents[self._rel(cube)])]
+
+    def index_at(self, cube) -> int:
+        return int(self.contents[self._rel(cube)])
+
+    # -- mutation (host-side content construction) ---------------------------
+
+    def _rel(self, cube):
+        return tuple(int(c - l) for c, l in zip(cube, self.bounds.lower))
+
+    def set(self, cube, block: Block) -> bool:
+        """space.rs:1344 Mutation::set (host path)."""
+        if not self.bounds.contains_cube(cube):
+            raise IndexError(f"cube {cube} outside bounds {self.bounds}")
+        idx = self.ensure_block(block)
+        rel = self._rel(cube)
+        if self.contents[rel] == idx:
+            return False
+        self.contents[rel] = idx
+        self._mark_light_dirty_around(rel)
+        return True
+
+    def fill(self, region: GridAab, block_or_fn) -> None:
+        """space.rs:1390 fill/fill_uniform (host path)."""
+        region = region.intersection(self.bounds)
+        sl = region.to_slices(self.bounds)
+        if isinstance(block_or_fn, Block):
+            idx = self.ensure_block(block_or_fn)
+            self.contents[sl] = idx
+        else:
+            lx, ly, lz = region.lower
+            for cube in region.interior_iter():
+                b = block_or_fn(cube)
+                if b is not None:
+                    self.contents[self._rel(cube)] = self.ensure_block(b)
+        self.light_dirty[sl] = 255
+        # Also dirty the one-cube border around the region.
+        border = region.expand(1).intersection(self.bounds)
+        self.light_dirty[border.to_slices(self.bounds)] = np.maximum(
+            self.light_dirty[border.to_slices(self.bounds)], 255
+        )
+
+    def _mark_light_dirty_around(self, rel):
+        x, y, z = rel
+        sx, sy, sz = self.contents.shape
+        for dx, dy, dz in (
+            (0, 0, 0),
+            (-1, 0, 0),
+            (1, 0, 0),
+            (0, -1, 0),
+            (0, 1, 0),
+            (0, 0, -1),
+            (0, 0, 1),
+        ):
+            nx, ny, nz = x + dx, y + dy, z + dz
+            if 0 <= nx < sx and 0 <= ny < sy and 0 <= nz < sz:
+                self.light_dirty[nx, ny, nz] = 255
+
+    # -- fast initial lighting ------------------------------------------------
+
+    def fast_evaluate_light(self):
+        """Seed light by column sky visibility (updater.rs:631
+        `fast_evaluate_light`): cubes with unobstructed sky above get the
+        +Y sky face value; opaque cubes get OPAQUE; all else black-dirty.
+        """
+        from ..math.faces import PY
+
+        opaque_all = np.array([ev.opaque.all() for ev in self._evaluated], bool)
+        has_surface = np.array([ev.visible for ev in self._evaluated], bool)
+        grid_opaque = opaque_all[self.contents]
+        # Cumulative "any opaque above" along +Y (axis 1, increasing index up).
+        above = np.zeros_like(grid_opaque)
+        above[:, :-1, :] = np.cumsum(grid_opaque[:, ::-1, :], axis=1)[:, ::-1, :][:, 1:, :] > 0
+        sky_py = self.physics.sky.block_sky_faces()[PY]
+        texel = np.zeros(4, np.uint8)
+        texel[:3] = lightpack.np_encode_scalar(sky_py)
+        texel[3] = lightpack.STATUS_VISIBLE
+        self.light[...] = 0
+        self.light[~grid_opaque & ~above] = texel
+        self.light[grid_opaque] = np.array([0, 0, 0, lightpack.STATUS_OPAQUE], np.uint8)
+        self.light_dirty[...] = 255
+
+    # -- device snapshot -------------------------------------------------------
+
+    def snapshot(self, pad_palette_to: int = 8) -> SpaceState:
+        """Build the device SpaceState (content → TPU handoff)."""
+        import jax.numpy as jnp
+
+        evs = self._evaluated
+        p_live = len(evs)
+        p = max(pad_palette_to, _round_up(p_live, 8))
+
+        resolution = np.ones(p, np.int32)
+        visible = np.zeros(p, bool)
+        opaque_faces = np.zeros((p, 6), bool)
+        face_colors = np.zeros((p, 7, 4), np.float32)
+        light_emission = np.zeros((p, 3), np.float32)
+        collision_uniform = np.zeros(p, np.int32)
+        voxel_index = np.full(p, -1, np.int32)
+        atom_color = np.zeros((p, 4), np.float32)
+        atom_emission = np.zeros((p, 3), np.float32)
+
+        vox_entries = [i for i, ev in enumerate(evs) if ev.resolution > 1]
+        max_r = max([evs[i].resolution for i in vox_entries], default=1)
+        v = max(1, len(vox_entries))
+        vox_color = np.zeros((v, max_r, max_r, max_r, 4), np.float32)
+        vox_emission = np.zeros((v, max_r, max_r, max_r, 3), np.float32)
+        vox_solid = np.zeros((v, max_r, max_r, max_r), bool)
+
+        for vi, bi in enumerate(vox_entries):
+            ev = evs[bi]
+            r = ev.resolution
+            voxel_index[bi] = vi
+            vox_color[vi, :r, :r, :r] = ev.voxels.color
+            vox_emission[vi, :r, :r, :r] = ev.voxels.emission
+            vox_solid[vi, :r, :r, :r] = ev.voxels.collision > 0
+
+        for i, ev in enumerate(evs):
+            resolution[i] = ev.resolution
+            visible[i] = ev.visible_or_animated()
+            opaque_faces[i] = ev.opaque
+            face_colors[i, :6] = ev.face_colors
+            face_colors[i, 6] = ev.color
+            light_emission[i] = ev.light_emission
+            collision_uniform[i] = -1 if ev.uniform_collision is None else ev.uniform_collision
+            atom_color[i] = ev.voxels.color[0, 0, 0]
+            atom_emission[i] = ev.voxels.emission[0, 0, 0]
+
+        tables = BlockTables(
+            resolution=jnp.asarray(resolution),
+            visible=jnp.asarray(visible),
+            opaque_faces=jnp.asarray(opaque_faces),
+            face_colors=jnp.asarray(face_colors),
+            light_emission=jnp.asarray(light_emission),
+            collision_uniform=jnp.asarray(collision_uniform),
+            voxel_index=jnp.asarray(voxel_index),
+            atom_color=jnp.asarray(atom_color),
+            atom_emission=jnp.asarray(atom_emission),
+            vox_color=jnp.asarray(vox_color),
+            vox_emission=jnp.asarray(vox_emission),
+            vox_solid=jnp.asarray(vox_solid),
+        )
+        sky = self.physics.sky
+        return SpaceState(
+            contents=jnp.asarray(self.contents),
+            light=jnp.asarray(self.light),
+            light_dirty=jnp.asarray(self.light_dirty),
+            tables=tables,
+            sky_faces=jnp.asarray(sky.block_sky_faces()),
+            sky_octants=jnp.asarray(sky.octants),
+            sky_mean=jnp.asarray(sky.mean_quantized()),
+            lower=self.bounds.lower,
+            light_max_distance=self.physics.light_max_distance,
+            light_enabled=self.physics.light_enabled,
+        )
+
+    def absorb(self, state: SpaceState):
+        """Copy device state back into the host mirror (readback after
+        simulation, for save/load and incremental content edits)."""
+        self.contents = np.asarray(state.contents)
+        self.light = np.asarray(state.light)
+        self.light_dirty = np.asarray(state.light_dirty)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

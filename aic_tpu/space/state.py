@@ -1,0 +1,151 @@
+"""Device-resident Space state (layer 1) — the arrays the TPU computes on.
+
+This is the TPU-native re-design of the reference's `Space`
+(all-is-cubes/src/space.rs:102): palette-compressed contents
+(`BlockIndex = u16`, space.rs:77), a packed light field (light/data.rs:51),
+and palette-derived block tables produced by host block evaluation. All
+fields are fixed-shape JAX arrays so an entire simulation step compiles to
+one XLA program; palette growth or bounds changes rebuild the state on host
+(rare, content-time events — the same cadence at which the reference
+re-evaluates blocks).
+
+Layout notes (TPU-first):
+- contents is `uint16[X, Y, Z]` in C order = the reference's Z-major
+  linearization (vol.rs:274), so serialized payloads interchange.
+- light is `uint8[X, Y, Z, 4]` = the exact `PackedLight::as_texel` layout
+  (data.rs:162) the reference uploads to its GPU light texture.
+- Per-voxel tables hold only multi-voxel ("Recur") palette entries, indexed
+  through `voxel_index`; atoms are fully described by the per-block rows.
+  Entries with resolution R < the table's padded R occupy the [0, R)³
+  corner; kernels index with the entry's own R.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BlockTables:
+    """Palette-derived per-block data (host block eval output).
+
+    P = padded palette size, V = padded voxel-entry count, R = padded
+    voxel resolution. Rows beyond the live palette are air-like.
+    """
+
+    # Per-block scalar/derived rows [P, ...]:
+    resolution: jax.Array  # i32[P]   (1 for atoms)
+    visible: jax.Array  # bool[P]  visible_or_animated (evaluated.rs:252)
+    opaque_faces: jax.Array  # bool[P,6] (derived.rs opaque)
+    face_colors: jax.Array  # f32[P,7,4] faces 0..5 + mean color at 6
+    light_emission: jax.Array  # f32[P,3]
+    collision_uniform: jax.Array  # i32[P]: -1 non-uniform, else class
+    voxel_index: jax.Array  # i32[P]: -1 = atom, else row in vox_* tables
+    # Atom fast-path per-block voxel data (the single Evoxel for R=1):
+    atom_color: jax.Array  # f32[P,4]
+    atom_emission: jax.Array  # f32[P,3]
+    # Voxel tables [V, R, R, R, ...]:
+    vox_color: jax.Array  # f32[V,R,R,R,4] straight alpha
+    vox_emission: jax.Array  # f32[V,R,R,R,3]
+    vox_solid: jax.Array  # bool[V,R,R,R] collision==HARD
+
+    @property
+    def padded_palette_size(self) -> int:
+        return self.resolution.shape[0]
+
+    @property
+    def padded_voxel_resolution(self) -> int:
+        return self.vox_color.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SpaceState:
+    """Complete device state of one Space.
+
+    `lower` (bounds lower corner) and light physics parameters are static
+    metadata so kernels compile them as constants.
+    """
+
+    contents: jax.Array  # u16[X,Y,Z] palette indices
+    light: jax.Array  # u8[X,Y,Z,4] PackedLight texels
+    light_dirty: jax.Array  # u8[X,Y,Z] relight priority (0 = clean)
+    tables: BlockTables
+    sky_faces: jax.Array  # f32[6,3] BlockSky per-face (quantized)
+    sky_octants: jax.Array  # f32[8,3]
+    sky_mean: jax.Array  # f32[3] (quantized)
+    lower: tuple[int, int, int] = field(metadata=dict(static=True))
+    light_max_distance: int = field(metadata=dict(static=True))
+    light_enabled: bool = field(metadata=dict(static=True))
+
+    @property
+    def size(self) -> tuple[int, int, int]:
+        return self.contents.shape
+
+    def cube_to_index(self, cubes):
+        """World cube coords (..., 3) → array indices (..., 3)."""
+        return cubes - jnp.asarray(self.lower, jnp.int32)
+
+
+def in_bounds_mask(state: SpaceState, idx):
+    """Mask of index-space positions (..., 3) inside the contents array."""
+    size = jnp.asarray(state.contents.shape, jnp.int32)
+    return jnp.all((idx >= 0) & (idx < size), axis=-1)
+
+
+def lookup_contents(state: SpaceState, idx, oob_index=0):
+    """Gather palette indices at index-space positions (..., 3).
+
+    Out-of-bounds positions return `oob_index` (air). Gathers use a
+    flattened index so XLA emits a single 1-D gather (fast path on TPU).
+    """
+    size = state.contents.shape
+    mask = in_bounds_mask(state, idx)
+    ic = jnp.clip(idx, 0, jnp.asarray(size, jnp.int32) - 1)
+    flat = (ic[..., 0] * size[1] + ic[..., 1]) * size[2] + ic[..., 2]
+    vals = jnp.take(state.contents.reshape(-1), flat, axis=0).astype(jnp.int32)
+    return jnp.where(mask, vals, oob_index), mask
+
+
+def lookup_light(state: SpaceState, idx):
+    """Gather light texels at index-space positions (..., 3) → (u8[...,4], in_bounds).
+
+    Out-of-bounds handling (sky faces / NO_RAYS per sky.rs:96
+    `BlockSky::light_outside`) is done by callers because the substitute
+    value is f32 sky light, not a texel.
+    """
+    size = state.light.shape[:3]
+    mask = in_bounds_mask(state, idx)
+    ic = jnp.clip(idx, 0, jnp.asarray(size, jnp.int32) - 1)
+    flat = (ic[..., 0] * size[1] + ic[..., 1]) * size[2] + ic[..., 2]
+    vals = jnp.take(state.light.reshape(-1, 4), flat, axis=0)
+    return vals, mask
+
+
+def scatter_set_cubes(state: SpaceState, idx, new_indices):
+    """Set contents[idx] = new_indices; returns new state with dirty marks.
+
+    The device half of `SpaceTransaction` commit (space/space_txn.rs:34):
+    positions are index-space (N, 3); callers have already checked
+    preconditions. Light dirty marks are set on the cubes and their 6
+    neighbors (light/updater.rs re-enqueue semantics on content change).
+    """
+    size = state.contents.shape
+    contents = state.contents.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
+        new_indices.astype(state.contents.dtype), mode="drop"
+    )
+    from ..math.faces import FACE7_NORMALS  # local import to avoid cycle
+
+    neighbors = idx[:, None, :] + jnp.asarray(FACE7_NORMALS, jnp.int32)[None, :, :]
+    flatn = neighbors.reshape(-1, 3)
+    dirty = state.light_dirty.at[flatn[:, 0], flatn[:, 1], flatn[:, 2]].max(
+        jnp.uint8(255), mode="drop"
+    )
+    import dataclasses
+
+    return dataclasses.replace(state, contents=contents, light_dirty=dirty)

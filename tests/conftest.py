@@ -1,0 +1,13 @@
+"""Test configuration: force CPU platform with 8 virtual devices.
+
+Multi-chip sharding code is validated on a virtual CPU mesh (the driver
+separately dry-runs `__graft_entry__.dryrun_multichip`); real-TPU behavior
+is covered by bench.py runs.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
