@@ -1,0 +1,186 @@
+"""Session: the platform-independent application loop.
+
+Equivalent of the reference `Session`/`FrameClock`/`InputProcessor`
+(all-is-cubes-ui/src/apps/{session.rs:52, time.rs:10, input.rs:39}):
+a fixed 60 Hz simulation schedule with bounded catch-up, keyboard state →
+character motion intents, and a renderer-agnostic frame hook.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..physics.body import Body
+from ..raytrace import Camera, GraphicsOptions, Viewport
+from ..universe import Universe
+
+CATCH_UP_STEPS = 2  # session.rs CATCH_UP_STEPS bound on missed-frame catch-up
+STEP_DT = 1.0 / 60.0
+
+
+@dataclass
+class InputState:
+    """input.rs:39 InputProcessor: held-key state → motion intents."""
+
+    keys: set = field(default_factory=set)
+    mouselook_delta: tuple = (0.0, 0.0)
+
+    KEYMAP = {
+        "w": (0, 0, -1),
+        "s": (0, 0, 1),
+        "a": (-1, 0, 0),
+        "d": (1, 0, 0),
+        "e": (0, 1, 0),
+        "c": (0, -1, 0),
+    }
+
+    def movement(self) -> np.ndarray:
+        v = np.zeros(3)
+        for k in self.keys:
+            if k in self.KEYMAP:
+                v += self.KEYMAP[k]
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+
+class FrameClock:
+    """apps/time.rs:10: fixed-schedule stepping with catch-up."""
+
+    def __init__(self):
+        self.last_step_time: Optional[float] = None
+
+    def steps_due(self, now: float) -> int:
+        if self.last_step_time is None:
+            self.last_step_time = now
+            return 1
+        due = int((now - self.last_step_time) / STEP_DT)
+        due = min(due, CATCH_UP_STEPS)
+        if due > 0:
+            self.last_step_time += due * STEP_DT
+        return due
+
+
+WALK_SPEED = 4.0  # character.rs walking speed cubes/s
+FLY_SPEED = 10.0
+JUMP_SPEED = 8.0
+
+
+class Session:
+    """session.rs:52: owns a Universe + a character + input; `frame()`
+    advances simulation per the frame clock and renders."""
+
+    def __init__(
+        self,
+        universe: Universe,
+        character_name: str = "player",
+        viewport: Viewport = Viewport(640, 360),
+        options: Optional[GraphicsOptions] = None,
+    ):
+        self.universe = universe
+        self.character_name = character_name
+        self.input = InputState()
+        self.clock = FrameClock()
+        self.paused = False
+        self.options = options or GraphicsOptions()
+        self.camera = Camera(self.options, viewport)
+        self.info_text: str = ""
+
+    @property
+    def character(self):
+        return self.universe.characters.get(self.character_name)
+
+    def set_look(self, yaw_deg: float, pitch_deg: float):
+        import jax.numpy as jnp
+
+        ch = self.character
+        u = self.universe
+        u.bodies = Body(
+            position=u.bodies.position,
+            velocity=u.bodies.velocity,
+            box_lo=u.bodies.box_lo,
+            box_hi=u.bodies.box_hi,
+            flying=u.bodies.flying,
+            noclip=u.bodies.noclip,
+            yaw=u.bodies.yaw.at[ch.body_index].set(yaw_deg),
+            pitch=u.bodies.pitch.at[ch.body_index].set(pitch_deg),
+        )
+
+    def apply_input(self):
+        """session.rs:374-392: key state → character velocity intent."""
+        import jax.numpy as jnp
+
+        ch = self.character
+        if ch is None:
+            return
+        u = self.universe
+        i = ch.body_index
+        yaw = float(np.asarray(u.bodies.yaw)[i])
+        pitch = float(np.asarray(u.bodies.pitch)[i])
+        flying = bool(np.asarray(u.bodies.flying)[i])
+
+        move = self.input.movement()
+        # Rotate intent by yaw (around Y): -Z is forward.
+        c, s = np.cos(np.radians(yaw)), np.sin(np.radians(yaw))
+        world = np.array(
+            [move[0] * c - move[2] * s, move[1], move[0] * s + move[2] * c]
+        )
+        speed = FLY_SPEED if flying else WALK_SPEED
+        vel = np.asarray(u.bodies.velocity).copy()
+        target = world * speed
+        if flying:
+            vel[i] = target
+        else:
+            vel[i][0] = target[0]
+            vel[i][2] = target[2]
+            if " " in self.input.keys:  # jump
+                vel[i][1] = JUMP_SPEED
+        import jax.numpy as jnp
+
+        u.bodies = Body(
+            position=u.bodies.position,
+            velocity=jnp.asarray(vel),
+            box_lo=u.bodies.box_lo,
+            box_hi=u.bodies.box_hi,
+            flying=u.bodies.flying,
+            noclip=u.bodies.noclip,
+            yaw=u.bodies.yaw,
+            pitch=u.bodies.pitch,
+        )
+
+    def eye_camera(self) -> Camera:
+        """Camera at the character's eye (character.rs eye height 1.6-ish)."""
+        ch = self.character
+        u = self.universe
+        pos = np.asarray(u.bodies.position)[ch.body_index].astype(np.float64)
+        eye = pos + np.array([0.0, 1.6, 0.0])
+        yaw = float(np.asarray(u.bodies.yaw)[ch.body_index])
+        pitch = float(np.asarray(u.bodies.pitch)[ch.body_index])
+        cy, sy = np.cos(np.radians(yaw)), np.sin(np.radians(yaw))
+        cp, sp = np.cos(np.radians(pitch)), np.sin(np.radians(pitch))
+        forward = np.array([-sy * cp, sp, -cy * cp])
+        self.camera.look_at(eye, eye + forward)
+        return self.camera
+
+    def maybe_step(self, now: Optional[float] = None) -> int:
+        """session.rs:353 maybe_step_universe."""
+        now = time.monotonic() if now is None else now
+        steps = self.clock.steps_due(now)
+        for _ in range(steps):
+            self.apply_input()
+            info = self.universe.step(paused=self.paused)
+            self.info_text = (
+                f"tick {info.tick} | edits {info.space_edits} | "
+                f"lightq {info.light_queue} | {info.wall_time_s*1000:.1f}ms"
+            )
+        return steps
+
+    def render(self):
+        from ..raytrace.render import render
+
+        ch = self.character
+        state = self.universe.get_state(ch.space_name)
+        return render(state, self.eye_camera())

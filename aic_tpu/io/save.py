@@ -1,0 +1,265 @@
+"""Native save format: versioned JSON with gzip-compressed volumes.
+
+Follows the reference's save-system discipline (all-is-cubes/src/save/):
+schema types strictly separated from runtime types (schema.rs:1-17 — here,
+plain dicts produced/consumed by explicit converters), versioned documents,
+and `Vol` payloads gzip-compressed in-band (compress.rs:9-30 `GzSerde`) —
+contents as little-endian u16, light as rgba8 texels, both base64-wrapped
+for JSON transport.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+
+import numpy as np
+
+from .. import block as blockmod
+from ..math.grid import GridAab
+from ..space import Sky, Space, SpacePhysics
+
+FORMAT_NAME = "aic-tpu-universe"
+FORMAT_VERSION = 1
+
+
+def _pack_array(arr: np.ndarray) -> str:
+    return base64.b64encode(gzip.compress(np.ascontiguousarray(arr).tobytes())).decode()
+
+
+def _unpack_array(s: str, dtype, shape) -> np.ndarray:
+    raw = gzip.decompress(base64.b64decode(s))
+    return np.frombuffer(raw, dtype=dtype).reshape(shape).copy()
+
+
+# -- block schema -------------------------------------------------------------
+
+def block_to_schema(b: blockmod.Block, space_registry: dict) -> dict:
+    p = b.primitive
+    if isinstance(p, blockmod.AirPrimitive):
+        prim = {"type": "air"}
+    elif isinstance(p, blockmod.Atom):
+        prim = {
+            "type": "atom",
+            "color": list(map(float, p.color)),
+            "emission": list(map(float, p.emission)),
+            "collision": int(p.collision),
+        }
+    elif isinstance(p, blockmod.Recur):
+        name = space_registry.get(id(p.space))
+        if name is None:
+            name = f"__recur_{len(space_registry)}"
+            space_registry[id(p.space)] = name
+            space_registry.setdefault("__pending__", []).append((name, p.space))
+        prim = {
+            "type": "recur",
+            "space": name,
+            "resolution": p.resolution,
+            "offset": list(p.offset),
+        }
+    elif isinstance(p, blockmod.TextPrimitive):
+        prim = {
+            "type": "text",
+            "text": p.text,
+            "resolution": p.resolution,
+            "color": list(map(float, p.color)),
+        }
+    else:
+        raise ValueError(f"unserializable primitive {p!r}")
+
+    mods = []
+    for m in b.modifiers:
+        if isinstance(m, blockmod.Rotate):
+            mods.append({"type": "rotate", "rotation": m.rotation})
+        elif isinstance(m, blockmod.Quote):
+            mods.append({"type": "quote"})
+        elif isinstance(m, blockmod.Zoom):
+            mods.append({"type": "zoom", "scale": m.scale, "offset": list(m.offset)})
+        elif isinstance(m, blockmod.Move):
+            mods.append(
+                {"type": "move", "face": m.face, "distance": m.distance,
+                 "velocity": m.velocity}
+            )
+        elif isinstance(m, blockmod.Composite):
+            mods.append(
+                {"type": "composite", "source": block_to_schema(m.source, space_registry),
+                 "operator": m.operator, "reverse": m.reverse}
+            )
+        else:
+            raise ValueError(f"unserializable modifier {m!r}")
+
+    a = b.attributes
+    return {
+        "primitive": prim,
+        "modifiers": mods,
+        "attributes": {
+            "display_name": a.display_name,
+            "selectable": a.selectable,
+            "animated": a.animated,
+        },
+    }
+
+
+def block_from_schema(d: dict, spaces: dict) -> blockmod.Block:
+    p = d["primitive"]
+    t = p["type"]
+    if t == "air":
+        return blockmod.AIR
+    if t == "atom":
+        prim = blockmod.Atom(
+            color=tuple(p["color"]), emission=tuple(p["emission"]),
+            collision=p.get("collision", 1),
+        )
+    elif t == "recur":
+        prim = blockmod.Recur(
+            space=spaces[p["space"]], resolution=p["resolution"],
+            offset=tuple(p["offset"]),
+        )
+    elif t == "text":
+        prim = blockmod.TextPrimitive(
+            text=p["text"], resolution=p["resolution"], color=tuple(p["color"])
+        )
+    else:
+        raise ValueError(f"unknown primitive type {t}")
+
+    mods = []
+    for m in d.get("modifiers", []):
+        mt = m["type"]
+        if mt == "rotate":
+            mods.append(blockmod.Rotate(m["rotation"]))
+        elif mt == "quote":
+            mods.append(blockmod.Quote())
+        elif mt == "zoom":
+            mods.append(blockmod.Zoom(m["scale"], tuple(m["offset"])))
+        elif mt == "move":
+            mods.append(blockmod.Move(m["face"], m["distance"], m.get("velocity", 0)))
+        elif mt == "composite":
+            mods.append(
+                blockmod.Composite(source=block_from_schema(m["source"], spaces),
+                                   operator=m.get("operator", "over"),
+                                   reverse=m.get("reverse", False))
+            )
+        else:
+            raise ValueError(f"unknown modifier type {mt}")
+
+    a = d.get("attributes", {})
+    return blockmod.Block(
+        primitive=prim,
+        attributes=blockmod.BlockAttributes(
+            display_name=a.get("display_name", "<unnamed>"),
+            selectable=a.get("selectable", True),
+            animated=a.get("animated", False),
+        ),
+        modifiers=tuple(mods),
+    )
+
+
+# -- space schema --------------------------------------------------------------
+
+def space_to_schema(sp: Space, space_registry: dict) -> dict:
+    return {
+        "bounds": {"lower": list(sp.bounds.lower), "size": list(sp.bounds.size)},
+        "physics": {
+            "gravity": list(map(float, sp.physics.gravity)),
+            "sky_octants": np.asarray(sp.physics.sky.octants, np.float32).tolist(),
+            "light_enabled": sp.physics.light_enabled,
+            "light_max_distance": sp.physics.light_max_distance,
+        },
+        "palette": [block_to_schema(b, space_registry) for b in sp.palette],
+        "contents": _pack_array(sp.contents.astype("<u2")),
+        "light": _pack_array(sp.light),
+        "spawn": None if sp.spawn_position is None else list(map(float, sp.spawn_position)),
+    }
+
+
+def space_from_schema(d: dict, spaces: dict) -> Space:
+    bounds = GridAab.from_lower_size(d["bounds"]["lower"], d["bounds"]["size"])
+    ph = d["physics"]
+    sp = Space(
+        bounds,
+        physics=SpacePhysics(
+            gravity=tuple(ph["gravity"]),
+            sky=Sky.from_octants(np.asarray(ph["sky_octants"], np.float32)),
+            light_enabled=ph["light_enabled"],
+            light_max_distance=ph["light_max_distance"],
+        ),
+    )
+    palette_blocks = [block_from_schema(b, spaces) for b in d["palette"]]
+    # Intern palette in order so stored indices are preserved.
+    for b in palette_blocks:
+        sp.ensure_block(b)
+    sp.contents = _unpack_array(d["contents"], "<u2", bounds.size)
+    sp.light = _unpack_array(d["light"], np.uint8, tuple(bounds.size) + (4,))
+    if d.get("spawn"):
+        sp.spawn_position = np.asarray(d["spawn"])
+    return sp
+
+
+def save_universe(universe, path: str):
+    """Serialize a Universe (or a dict of named Spaces) to JSON."""
+    spaces = universe.spaces if hasattr(universe, "spaces") else dict(universe)
+    registry: dict = {id(sp): name for name, sp in spaces.items()}
+    doc_spaces = {}
+    for name, sp in spaces.items():
+        doc_spaces[name] = space_to_schema(sp, registry)
+    # Recur blocks may reference anonymous spaces discovered during
+    # serialization.
+    pending = registry.pop("__pending__", [])
+    while pending:
+        name, sp = pending.pop()
+        doc_spaces[name] = space_to_schema(sp, registry)
+        pending.extend(registry.pop("__pending__", []))
+
+    doc = {
+        "format": FORMAT_NAME,
+        "version": FORMAT_VERSION,
+        "spaces": doc_spaces,
+        "characters": {
+            name: {"space": ch.space_name, "body_index": ch.body_index}
+            for name, ch in getattr(universe, "characters", {}).items()
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_universe(path: str):
+    """Load a Universe from JSON. Returns a Universe."""
+    from ..universe import Universe
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != FORMAT_NAME:
+        raise ValueError(f"not a {FORMAT_NAME} file")
+    if doc.get("version", 0) > FORMAT_VERSION:
+        raise ValueError(f"unsupported version {doc['version']}")
+
+    # Two-pass: construct empty spaces first so Recur references resolve.
+    u = Universe()
+    shells: dict[str, Space] = {}
+    for name, sd in doc["spaces"].items():
+        shells[name] = None  # placeholder
+    # Topological simplicity: build all spaces with a lazy dict proxy.
+    built: dict[str, Space] = {}
+
+    def get_space(name):
+        if built.get(name) is None:
+            built[name] = space_from_schema(doc["spaces"][name], _proxy)
+        return built[name]
+
+    class _Proxy(dict):
+        def __getitem__(self, key):
+            return get_space(key)
+
+    _proxy = _Proxy()
+    for name in doc["spaces"]:
+        built.setdefault(name, None)
+    for name in doc["spaces"]:
+        get_space(name)
+    for name, sp in built.items():
+        if not name.startswith("__recur_"):
+            u.insert_space(name, sp)
+        else:
+            u.spaces[name] = sp  # referenced content space, no device state
+    return u

@@ -1,0 +1,127 @@
+"""Command-line frontend (reference: all-is-cubes-desktop CLI).
+
+Mirrors the reference binary's graphics modes (desktop/src/bin/
+all-is-cubes/main.rs:40-222) that make sense headless-first on a TPU host:
+
+  print      one-shot raytrace to colored terminal text (terminal.rs -print)
+  record     render frames to PNG (record.rs)
+  headless   step the universe without rendering
+  terminal   interactive ASCII session (simplified ratatui mode)
+
+Usage: python -m aic_tpu.main --template cornell-box --graphics print
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_template(name: str, seed: int = 0, size: int | None = None):
+    from .content import cornell_box, light_bench_space, menger_sponge
+
+    if name == "cornell-box":
+        return cornell_box(size or 32)
+    if name == "light-bench":
+        return light_bench_space((size or 54, 16, size or 54))
+    if name == "menger-sponge":
+        return menger_sponge(world_levels=3)
+    raise SystemExit(f"unknown template {name!r}")
+
+
+def default_camera(space, width, height, options):
+    from .raytrace import Camera, Viewport
+
+    cam = Camera(options, Viewport(width, height))
+    lo = np.asarray(space.bounds.lower, float)
+    hi = np.asarray(space.bounds.upper, float)
+    center = (lo + hi) / 2
+    if space.spawn_position is not None:
+        eye = np.asarray(space.spawn_position, float)
+    else:
+        eye = center + (hi - lo) * np.array([0.4, 0.35, 1.1])
+    cam.look_at(eye, center)
+    return cam
+
+
+def ansi_image(data: np.ndarray) -> str:
+    """sRGB image → 24-bit-color half-block terminal art (terminal.rs
+    ray_image analog)."""
+    h = data.shape[0] // 2 * 2
+    rows = []
+    for y in range(0, h, 2):
+        row = []
+        for x in range(data.shape[1]):
+            top = data[y, x]
+            bot = data[y + 1, x]
+            row.append(
+                f"\x1b[38;2;{top[0]};{top[1]};{top[2]}m"
+                f"\x1b[48;2;{bot[0]};{bot[1]};{bot[2]}m▀"
+            )
+        rows.append("".join(row) + "\x1b[0m")
+    return "\n".join(rows)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aic-tpu")
+    p.add_argument("--template", default="cornell-box")
+    p.add_argument(
+        "--graphics", default="print", choices=["print", "record", "headless", "terminal"]
+    )
+    p.add_argument("--size", type=int, default=None, help="template size")
+    p.add_argument("--width", type=int, default=120)
+    p.add_argument("--height", type=int, default=80)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="frame.png")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--duration", type=float, default=1.0, help="headless sim seconds")
+    p.add_argument("--lighting", default="smoothstep")
+    p.add_argument("--no-relight", action="store_true")
+    args = p.parse_args(argv)
+
+    from .light import evaluate_light
+    from .raytrace import GraphicsOptions, render, save_png
+
+    space = build_template(args.template, args.seed, args.size)
+    state = space.snapshot()
+    if not args.no_relight and state.light_enabled:
+        t0 = time.time()
+        state, n = evaluate_light(state, batch_size=1024, max_rounds=5000)
+        print(f"[light] {n} cube updates in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    options = GraphicsOptions(lighting_display=args.lighting, fog="none")
+
+    if args.graphics == "headless":
+        from .universe import Universe
+
+        u = Universe()
+        u.insert_space("world", space)
+        u.states["world"] = state
+        t0 = time.time()
+        for _ in range(int(args.duration * 60)):
+            info = u.step()
+        print(f"[headless] {info.tick + 1} ticks in {time.time()-t0:.1f}s")
+        return
+
+    cam = default_camera(space, args.width, args.height, options)
+    t0 = time.time()
+    r = render(state, cam)
+    print(f"[render] {args.width}x{args.height} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.graphics == "print":
+        print(ansi_image(r.data))
+    elif args.graphics == "record":
+        for i in range(args.frames):
+            out = args.output if args.frames == 1 else args.output.replace(".png", f"_{i:04d}.png")
+            save_png(r, out)
+            print(f"wrote {out}", file=sys.stderr)
+    elif args.graphics == "terminal":
+        print(ansi_image(r.data))
+        print("(interactive terminal mode lands with the session UI round)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Full-frame renderer: camera + tracer + postprocess → image.
+
+Equivalent of the reference's `RtRenderer::draw`
+(all-is-cubes-render/src/raytracer/renderer.rs:183,543-556): per-pixel rays
+(2×2 supersampled when antialiasing is on, renderer.rs:426), traced by the
+core (tracer.py), then exposure + tone mapping (camera.rs:373) and sRGB
+encoding. Where the reference rayon-parallelizes over rows, the whole frame
+here is one device computation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.color import linear_to_srgb8
+from ..space.state import SpaceState
+from .camera import Camera, Viewport
+from .options import GraphicsOptions
+from .tracer import trace_rays
+
+
+@dataclass
+class Rendering:
+    """render/headless.rs Rendering: size + RGBA data + flaws."""
+
+    width: int
+    height: int
+    data: np.ndarray  # u8[H,W,4] sRGB
+    flaws: tuple[str, ...] = ()
+
+
+def render_hdr(state: SpaceState, camera: Camera, include_sky: bool = True):
+    """Trace the frame; returns HDR linear light f32[H,W,3] on device."""
+    aa = camera.options.antialiasing
+    origins, directions = camera.pixel_rays(supersample=aa)
+    light, trans = trace_rays(
+        state, origins, directions, camera.options, include_sky=include_sky
+    )
+    if aa:
+        light = light.mean(axis=2)  # mean over the 4 sub-pixels (accum.rs mean)
+        trans = trans.mean(axis=2)
+    return light, trans
+
+
+def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rendering:
+    """Render to an sRGB image (host)."""
+    light, trans = render_hdr(state, camera, include_sky)
+    rgb = camera.post_process(light)
+    srgb = linear_to_srgb8(rgb)
+    alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
+    img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
+    return Rendering(camera.viewport.width, camera.viewport.height, img)
+
+
+def save_png(rendering: Rendering, path: str):
+    from PIL import Image
+
+    Image.fromarray(rendering.data, "RGBA").save(path)
+
+
+def print_space_ascii(state: SpaceState, camera: Camera, chars: str = " .:-=+*#%@") -> str:
+    """ASCII-art rendering, the analog of the reference's `print_space`
+    terminal debugging (raytracer/text.rs)."""
+    light, trans = render_hdr(state, camera)
+    lum = np.asarray(
+        (light[..., 0] * 0.2126 + light[..., 1] * 0.7152 + light[..., 2] * 0.0722)
+    )
+    lum = lum / max(lum.max(), 1e-6)
+    idx = np.clip((lum * (len(chars) - 1)).round().astype(int), 0, len(chars) - 1)
+    return "\n".join("".join(chars[i] for i in row) for row in idx)

@@ -1,0 +1,18 @@
+"""Layer 1e: Universe container, transactions, operations, behaviors, step loop."""
+
+from .op import Alt, Become, DestroyTo, MoveInwards, Neighbors, Operation, OperationFailed
+from .transaction import (
+    CubeEdit,
+    PreconditionFailed,
+    SpaceTransaction,
+    TransactionConflict,
+    UniverseTransaction,
+)
+from .universe import Behavior, Character, Clock, Tick, Universe, UniverseStepInfo
+
+__all__ = [
+    "Alt", "Become", "DestroyTo", "MoveInwards", "Neighbors", "Operation",
+    "OperationFailed", "CubeEdit", "PreconditionFailed", "SpaceTransaction",
+    "TransactionConflict", "UniverseTransaction", "Behavior", "Character",
+    "Clock", "Tick", "Universe", "UniverseStepInfo",
+]

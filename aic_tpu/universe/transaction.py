@@ -1,0 +1,144 @@
+"""Transactions: atomic check-then-commit world mutations.
+
+Equivalent of the reference's universal mutation mechanism
+(all-is-cubes/src/transaction.rs:45 `Transaction`, :167 `Merge`;
+space/space_txn.rs:34 `SpaceTransaction`, :562 `CubeTransaction`):
+conflict-free batching of edits so game mechanics cannot be
+update-order-dependent.
+
+TPU mapping (SURVEY §7 step 2): a checked SpaceTransaction compiles to one
+batched scatter (space/state.py `scatter_set_cubes`) — preconditions are
+gathered and compared on device, the commit is all-or-nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+class TransactionConflict(Exception):
+    pass
+
+
+class PreconditionFailed(Exception):
+    pass
+
+
+@dataclass
+class CubeEdit:
+    """CubeTransaction (space_txn.rs:562): optional old-block precondition
+    + optional new block."""
+
+    old: Optional[object] = None  # Block or None = don't care
+    new: Optional[object] = None  # Block or None = no change
+
+
+@dataclass
+class SpaceTransaction:
+    """Per-cube CAS edits on one Space (space_txn.rs:34)."""
+
+    cubes: dict = field(default_factory=dict)  # (x,y,z) -> CubeEdit
+
+    @staticmethod
+    def set_cube(cube, old=None, new=None) -> "SpaceTransaction":
+        t = SpaceTransaction()
+        t.cubes[tuple(int(c) for c in cube)] = CubeEdit(old=old, new=new)
+        return t
+
+    @staticmethod
+    def filling(region, block) -> "SpaceTransaction":
+        t = SpaceTransaction()
+        for cube in region.interior_iter():
+            t.cubes[cube] = CubeEdit(new=block)
+        return t
+
+    def merge(self, other: "SpaceTransaction") -> "SpaceTransaction":
+        """Merge (transaction.rs:167): conflicting cube writes fail."""
+        out = SpaceTransaction(cubes=dict(self.cubes))
+        for cube, edit in other.cubes.items():
+            if cube in out.cubes:
+                mine = out.cubes[cube]
+                if (
+                    edit.new is not None
+                    and mine.new is not None
+                    and edit.new != mine.new
+                ):
+                    raise TransactionConflict(f"conflicting writes at {cube}")
+                merged = CubeEdit(
+                    old=mine.old if mine.old is not None else edit.old,
+                    new=mine.new if mine.new is not None else edit.new,
+                )
+                out.cubes[cube] = merged
+            else:
+                out.cubes[cube] = edit
+        return out
+
+    def check(self, space) -> None:
+        """Check preconditions against the host mirror (space_txn commit
+        protocol: check → CommitCheck → commit)."""
+        for cube, edit in self.cubes.items():
+            if not space.bounds.contains_cube(cube):
+                raise PreconditionFailed(f"cube {cube} outside bounds")
+            if edit.old is not None and space.block_at(cube) != edit.old:
+                raise PreconditionFailed(f"cube {cube} changed")
+
+    def commit(self, space, state=None):
+        """Apply to the host Space and, if given, the device state.
+
+        Returns the updated device state (or None). Palette growth happens
+        here on host (content-time); if the palette's device tables are
+        stale (new entries beyond the padded size), the caller must
+        re-snapshot — signaled by returning None for `state`.
+        """
+        if not self.cubes:
+            return state
+        positions = []
+        new_idx = []
+        pal_before = space.palette_len()
+        pad = state.tables.padded_palette_size if state is not None else None
+        for cube, edit in self.cubes.items():
+            if edit.new is None:
+                continue
+            idx = space.ensure_block(edit.new)
+            rel = space._rel(cube)
+            space.contents[rel] = idx
+            space._mark_light_dirty_around(rel)
+            positions.append(rel)
+            new_idx.append(idx)
+        if state is None:
+            return None
+        if space.palette_len() > (pad or 0):
+            return None  # tables must be rebuilt (snapshot again)
+        if not positions:
+            return state
+        import jax.numpy as jnp
+
+        from ..space.state import scatter_set_cubes
+
+        return scatter_set_cubes(
+            state,
+            jnp.asarray(np.array(positions, np.int32)),
+            jnp.asarray(np.array(new_idx, np.int32)),
+        )
+
+    def execute(self, space, state=None):
+        self.check(space)
+        return self.commit(space, state)
+
+
+@dataclass
+class UniverseTransaction:
+    """Atomic multi-member mutation (universe/universe_txn.rs:333).
+    Round 1 carries per-space transactions; member insertion/behavior
+    edits arrive with the full Universe layer."""
+
+    spaces: dict = field(default_factory=dict)  # space name -> SpaceTransaction
+
+    def merge(self, other: "UniverseTransaction") -> "UniverseTransaction":
+        out = UniverseTransaction(spaces=dict(self.spaces))
+        for name, txn in other.spaces.items():
+            out.spaces[name] = out.spaces[name].merge(txn) if name in out.spaces else txn
+        return out

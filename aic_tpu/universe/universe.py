@@ -1,0 +1,274 @@
+"""Universe: the container of all game state + the step loop.
+
+Equivalent of the reference `Universe` (all-is-cubes/src/universe.rs:128)
+and its ECS step schedules (time.rs:313-345 `{BeforeStepReset, Synchronize,
+BeforeStep, Step, AfterStep}`; space/step.rs systems).
+
+TPU-native division of labor: the Universe is a host orchestrator; each
+named Space owns a device `SpaceState`. One `step()` runs the reference's
+phases in order —
+
+  Synchronize   palette re-evaluation for changed BlockDefs (host; rare)
+  Step:
+    tick actions  blocks whose schedule fires emit Operations → merged
+                  SpaceTransaction → one device scatter (space/step.rs:114)
+    behaviors     host Behavior objects emit transactions (behavior.rs:198)
+    body physics  vmapped device kernel (physics/body.py)
+    light         K relight rounds on device (space/step.rs:338); the
+                  reference's time budget becomes a fixed round count per
+                  tick (SURVEY §2.9 deadline mapping)
+
+Handles (universe/handle.rs) become plain member names: Python's reference
+semantics + the functional device state replace the ReadTicket borrow
+discipline (there is no shared mutable device state to race on).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..light.update import light_update_round
+from ..physics import Body, step_bodies
+from ..space import Space
+from .op import OperationFailed
+from .transaction import SpaceTransaction, TransactionConflict, UniverseTransaction
+
+TICKS_PER_SECOND = 60  # time.rs:183 TickSchedule default divisor
+
+
+@dataclass
+class Tick:
+    """time.rs:27: dt + schedule phase."""
+
+    ticks: int
+    dt: float = 1.0 / TICKS_PER_SECOND
+    paused: bool = False
+
+
+@dataclass
+class Clock:
+    """time.rs:230 Clock: fixed-schedule tick counter."""
+
+    ticks: int = 0
+
+    def advance(self, paused: bool = False) -> Tick:
+        t = Tick(ticks=self.ticks, paused=paused)
+        if not paused:
+            self.ticks += 1
+        return t
+
+
+class Behavior:
+    """behavior.rs:28: attachable per-member logic. step() returns
+    (UniverseTransaction | None, then) where then is "step" to continue,
+    "drop" to detach, or an integer tick count to sleep."""
+
+    def step(self, universe: "Universe", host_name: str, tick: Tick):
+        return None, "drop"
+
+
+@dataclass
+class Character:
+    """Player avatar (character.rs:66): a Body plus input intents.
+    Lives in the universe's body batch at `body_index`."""
+
+    name: str
+    space_name: str
+    body_index: int
+    # Input state (set by InputProcessor / UI layer):
+    velocity_input: tuple = (0.0, 0.0, 0.0)
+    selected_slot: int = 0
+    inventory: list = field(default_factory=list)
+
+
+@dataclass
+class UniverseStepInfo:
+    """universe.rs:863: per-step structured diagnostics."""
+
+    tick: int = 0
+    space_edits: int = 0
+    light_updates: int = 0
+    light_queue: int = 0
+    bodies: int = 0
+    behaviors_run: int = 0
+    wall_time_s: float = 0.0
+
+
+class Universe:
+    def __init__(self):
+        self.spaces: dict[str, Space] = {}
+        self.states: dict[str, object] = {}  # name -> SpaceState (device)
+        self.block_defs: dict[str, object] = {}
+        self.characters: dict[str, Character] = {}
+        self.behaviors: list[tuple[str, Behavior, int]] = []  # (host, behavior, wake_tick)
+        self.bodies: Optional[Body] = None  # batched device pytree
+        self.body_space: list[str] = []  # space per body row
+        self.clock = Clock()
+        self.light_rounds_per_tick = 2
+        self.light_batch_size = 256
+        self._tick_action_index: dict[str, list] = {}
+
+    # -- membership (universe.rs:419 insert) --------------------------------
+
+    def insert_space(self, name: str, space: Space) -> str:
+        self.spaces[name] = space
+        self.states[name] = space.snapshot()
+        self._reindex_tick_actions(name)
+        return name
+
+    def insert_character(self, name: str, space_name: str, position) -> Character:
+        import jax
+
+        body = Body.make(position=position)
+        idx = len(self.body_space)
+        if self.bodies is None:
+            self.bodies = Body.stack([body])
+        else:
+            # Append a row to the batched pytree (content-time; rare).
+            self.bodies = jax.tree_util.tree_map(
+                lambda batch, new: jax.numpy.concatenate([batch, new[None]]),
+                self.bodies,
+                body,
+            )
+        self.body_space.append(space_name)
+        ch = Character(name=name, space_name=space_name, body_index=idx)
+        self.characters[name] = ch
+        return ch
+
+    def add_behavior(self, host_name: str, behavior: Behavior):
+        self.behaviors.append([host_name, behavior, 0])
+
+    def get_state(self, name: str):
+        return self.states[name]
+
+    def resnapshot(self, name: str):
+        """Rebuild device tables after palette growth (content-time)."""
+        self.states[name] = self.spaces[name].snapshot()
+        self._reindex_tick_actions(name)
+
+    def _reindex_tick_actions(self, name: str):
+        sp = self.spaces[name]
+        acts = []
+        for i, blk in enumerate(sp.palette):
+            if blk.attributes.tick_action is not None:
+                acts.append((i, blk.attributes.tick_action, blk.attributes.tick_period))
+        self._tick_action_index[name] = acts
+
+    # -- stepping (universe.rs:314) ------------------------------------------
+
+    def step(self, paused: bool = False) -> UniverseStepInfo:
+        t0 = _time.perf_counter()
+        tick = self.clock.advance(paused)
+        info = UniverseStepInfo(tick=tick.ticks, bodies=len(self.body_space))
+        if paused:
+            return info
+
+        # Synchronize: palette re-evaluation for changed BlockDefs
+        # (space/step.rs:76). Round 1: BlockDef.touch() bumps epoch; spaces
+        # referencing stale defs re-evaluate + re-snapshot.
+        for name, sp in self.spaces.items():
+            if any(
+                bd._cache_epoch != bd.epoch
+                for bd in self.block_defs.values()
+                if bd._cache is not None
+            ):
+                sp.reevaluate_palette()
+                self.resnapshot(name)
+
+        # Step: tick actions (space/step.rs:114).
+        for name in self.spaces:
+            info.space_edits += self._run_tick_actions(name, tick)
+
+        # Behaviors (space/step.rs:367,405).
+        pending = UniverseTransaction()
+        still = []
+        for entry in self.behaviors:
+            host, behavior, wake = entry
+            if tick.ticks < wake:
+                still.append(entry)
+                continue
+            txn, then = behavior.step(self, host, tick)
+            info.behaviors_run += 1
+            if txn is not None:
+                try:
+                    pending = pending.merge(txn)
+                except TransactionConflict:
+                    pass  # conflicting behavior transactions are dropped
+            if then == "step":
+                still.append(entry)
+            elif isinstance(then, int):
+                entry[2] = tick.ticks + then
+                still.append(entry)
+            # "drop": not re-added
+        self.behaviors = still
+        for name, txn in pending.spaces.items():
+            info.space_edits += self._commit(name, txn)
+
+        # Body physics (space/step.rs:68 body_physics_step_system).
+        if self.bodies is not None and self.body_space:
+            # Round 1: all bodies collide against the first space they
+            # belong to (per-space batching arrives with multi-space worlds).
+            name = self.body_space[0]
+            state = self.states[name]
+            gravity = self.spaces[name].physics.gravity
+            self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
+
+        # Light updates (space/step.rs:338): fixed rounds per tick.
+        for name in self.spaces:
+            st = self.states[name]
+            if not st.light_enabled:
+                continue
+            for _ in range(self.light_rounds_per_tick):
+                st, stats = light_update_round(st, batch_size=self.light_batch_size)
+                info.light_updates += int(stats["updated"])
+                info.light_queue = int(stats["queue_remaining"])
+            self.states[name] = st
+
+        info.wall_time_s = _time.perf_counter() - t0
+        return info
+
+    def _run_tick_actions(self, name: str, tick: Tick) -> int:
+        """execute_tick_actions_system (space/step.rs:114): for each cube
+        whose block has a tick_action whose schedule fires this tick,
+        instantiate the Operation and merge-commit."""
+        acts = self._tick_action_index.get(name, [])
+        if not acts:
+            return 0
+        sp = self.spaces[name]
+        contents = sp.contents
+        merged: Optional[SpaceTransaction] = None
+        for idx, op, period in acts:
+            if tick.ticks % max(period, 1) != 0:
+                continue
+            positions = np.argwhere(contents == idx)
+            for rel in positions:
+                cube = tuple(int(r + l) for r, l in zip(rel, sp.bounds.lower))
+                try:
+                    txn = op.apply(sp, cube)
+                except OperationFailed:
+                    continue
+                try:
+                    merged = txn if merged is None else merged.merge(txn)
+                except TransactionConflict:
+                    continue  # conflicting actions are skipped (step.rs merge-or-conflict)
+        if merged is None:
+            return 0
+        return self._commit(name, merged)
+
+    def _commit(self, name: str, txn: SpaceTransaction) -> int:
+        sp = self.spaces[name]
+        try:
+            txn.check(sp)
+        except Exception:
+            return 0
+        new_state = txn.commit(sp, self.states[name])
+        if new_state is None:
+            self.resnapshot(name)
+        else:
+            self.states[name] = new_state
+        return len(txn.cubes)

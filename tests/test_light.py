@@ -1,0 +1,151 @@
+"""Light engine tests (mirrors reference space/light/tests.rs intents)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aic_tpu import block
+from aic_tpu.light import build_chart, evaluate_light, generate_directions, relight_batch
+from aic_tpu.math import lightpack
+from aic_tpu.math.grid import GridAab
+from aic_tpu.space import Sky, Space, SpacePhysics
+
+
+class TestChart:
+    def test_602_rays(self):
+        """generator.rs:53: one ray per surface cell of the 11³ lattice."""
+        d, c = generate_directions()
+        assert len(d) == 602
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-12)
+
+    def test_cosines(self):
+        d, c = generate_directions()
+        # A ray along +Y has cosine 1 on PY, 0 elsewhere.
+        iy = int(np.argmax(d[:, 1]))
+        np.testing.assert_allclose(d[iy], [0, 1, 0], atol=1e-12)
+        from aic_tpu.math import faces
+
+        assert c[iy, faces.PY] == pytest.approx(1.0)
+        assert c[iy, faces.NY] == 0.0
+
+    def test_every_ray_ends(self):
+        ch = build_chart(30)
+        from aic_tpu.light.chart import STEP_END
+
+        assert (ch["kinds"] == STEP_END).sum(axis=1).min() == 1
+
+    def test_steps_adjacent(self):
+        ch = build_chart(30)
+        offs = ch["offsets"].astype(int)
+        kinds = ch["kinds"]
+        for r in range(0, 602, 97):
+            prev = np.zeros(3, int)
+            for s in range(ch["max_steps"]):
+                if kinds[r, s] == 2:
+                    break
+                if kinds[r, s] == 1:
+                    continue
+                diff = np.abs(offs[r, s] - prev).sum()
+                assert diff == 1, (r, s, offs[r, s], prev)
+                prev = offs[r, s]
+
+
+def lit_box_space(size=6, emission=4.0):
+    """Closed box with a single emissive block in the ceiling center."""
+    sp = Space(
+        GridAab.cube(size),
+        physics=SpacePhysics(sky=Sky.uniform((0, 0, 0)), light_max_distance=size * 2),
+    )
+    white = block.from_color((1.0, 1.0, 1.0, 1.0))
+    for face_fill in [
+        GridAab.from_lower_size((0, 0, 0), (size, 1, size)),
+        GridAab.from_lower_size((0, size - 1, 0), (size, 1, size)),
+        GridAab.from_lower_size((0, 0, 0), (1, size, size)),
+        GridAab.from_lower_size((size - 1, 0, 0), (1, size, size)),
+        GridAab.from_lower_size((0, 0, 0), (size, size, 1)),
+        GridAab.from_lower_size((0, 0, size - 1), (size, size, 1)),
+    ]:
+        sp.fill(face_fill, white)
+    lamp = block.Block(
+        block.Atom(color=(1, 1, 1, 1), emission=(emission,) * 3),
+        block.BlockAttributes(display_name="lamp"),
+    )
+    c = size // 2
+    sp.set((c, size - 1, c), lamp)
+    sp.fast_evaluate_light()
+    return sp
+
+
+class TestRelight:
+    def test_opaque_cube_is_opaque(self):
+        sp = lit_box_space()
+        st = sp.snapshot()
+        out = relight_batch(st, jnp.array([[0, 0, 0]]), jnp.array([True]))
+        assert int(np.asarray(out)[0, 3]) == lightpack.STATUS_OPAQUE
+
+    def test_emissive_opaque_cube(self):
+        sp = lit_box_space()
+        st = sp.snapshot()
+        c = 3
+        out = relight_batch(st, jnp.array([[c, 5, c]]), jnp.array([True]))
+        out = np.asarray(out)[0]
+        # compute_light:378: opaque emissive → Visible with its emission.
+        assert out[3] == lightpack.STATUS_VISIBLE
+        np.testing.assert_allclose(
+            lightpack.np_decode_scalar(out[:3]), [4.0] * 3, rtol=0.05
+        )
+
+    def test_no_rays_in_isolated_air(self):
+        sp = Space(GridAab.cube(8), physics=SpacePhysics(sky=Sky.uniform((1, 1, 1))))
+        st = sp.snapshot()
+        out = relight_batch(st, jnp.array([[4, 4, 4]]), jnp.array([True]))
+        assert int(np.asarray(out)[0, 3]) == lightpack.STATUS_NO_RAYS
+
+    def test_sky_lit_above_floor(self):
+        sky = (0.8, 0.9, 1.0)
+        sp = Space(GridAab.cube(6), physics=SpacePhysics(sky=Sky.uniform(sky)))
+        sp.fill(GridAab.from_lower_size((0, 0, 0), (6, 1, 6)), block.from_color((1, 1, 1, 1)))
+        st = sp.snapshot()
+        out = relight_batch(st, jnp.array([[3, 1, 3]]), jnp.array([True]))
+        out = np.asarray(out)[0]
+        assert out[3] == lightpack.STATUS_VISIBLE
+        val = lightpack.np_decode_scalar(out[:3])
+        # Mostly sky in all open directions; floor reflects more sky.
+        # Expect close to the sky value (within the coarse GI tolerance).
+        np.testing.assert_allclose(val, sky, rtol=0.35)
+
+    def test_evaluate_light_converges_and_spreads(self):
+        sp = lit_box_space(size=6, emission=6.0)
+        st = sp.snapshot()
+        st, n = evaluate_light(st, batch_size=128)
+        assert n > 0
+        assert int((np.asarray(st.light_dirty) > 0).sum()) == 0
+        light = np.asarray(st.light)
+        # Air mid-box has no adjacent surfaces → NO_RAYS (updater.rs:373).
+        assert light[3, 3, 3, 3] == lightpack.STATUS_NO_RAYS
+        # Air directly below the lamp should be lit.
+        below = light[3, 4, 3]
+        assert below[3] == lightpack.STATUS_VISIBLE
+        assert lightpack.np_decode_scalar(below[:3]).max() > 0.001
+        # Walls' interior faces adjacent to air: air next to a wall is lit
+        # dimmer than directly below the lamp.
+        corner = light[1, 1, 1]
+        assert corner[3] == lightpack.STATUS_VISIBLE
+        assert (
+            lightpack.np_decode_scalar(corner[:3]).mean()
+            <= lightpack.np_decode_scalar(below[:3]).mean() + 1e-6
+        )
+
+    def test_edit_requeues_light(self):
+        sp = lit_box_space(size=6)
+        st = sp.snapshot()
+        st, _ = evaluate_light(st, batch_size=128)
+        from aic_tpu.space.state import scatter_set_cubes
+
+        st2 = scatter_set_cubes(st, jnp.array([[3, 3, 3]]), jnp.array([1]))
+        assert int((np.asarray(st2.light_dirty) > 0).sum()) >= 7
+        st2, n = evaluate_light(st2, batch_size=128)
+        assert n > 0
+        # The now-solid cube becomes opaque.
+        assert int(np.asarray(st2.light)[3, 3, 3, 3]) == lightpack.STATUS_OPAQUE
