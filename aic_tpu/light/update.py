@@ -171,14 +171,13 @@ def relight_batch(state: SpaceState, cubes, valid):
 
         pos = cubes[:, None, :] + off[None, :, :]  # [B,R,3]
         idx, inside = _gather_contents(state, pos)
-        visible = jnp.take(tables.visible, idx, axis=0)
-        opaque_f = jnp.take(
-            tables.opaque_faces.reshape(-1), idx * 6 + f_in[None, :], axis=0
-        )
-        fc = jnp.take(
-            tables.face_colors.reshape(-1, 4), idx * 7 + f_in[None, :], axis=0
-        )  # [B,R,4]
-        emission = jnp.take(tables.light_emission, idx, axis=0)  # [B,R,3]
+        # One packed row gather per step (state.py light_face_rows).
+        row = jnp.take(tables.light_face_rows, idx * 6 + f_in[None, :], axis=0)
+        fc = row[..., 0:4]  # face rgba
+        flags = row[..., 4]
+        opaque_f = jnp.mod(flags, 2.0) >= 1.0
+        visible = flags >= 2.0
+        emission = row[..., 5:8]
 
         is_end = kind[None, :] == STEP_END
         is_pad = kind[None, :] == STEP_PAD

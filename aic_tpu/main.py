@@ -21,15 +21,16 @@ import numpy as np
 
 
 def build_template(name: str, seed: int = 0, size: int | None = None):
-    from .content import cornell_box, light_bench_space, menger_sponge
+    from .content import TemplateParameters, build_template_space
 
-    if name == "cornell-box":
-        return cornell_box(size or 32)
-    if name == "light-bench":
-        return light_bench_space((size or 54, 16, size or 54))
-    if name == "menger-sponge":
-        return menger_sponge(world_levels=3)
-    raise SystemExit(f"unknown template {name!r}")
+    try:
+        return build_template_space(name, TemplateParameters(seed=seed, size=size))
+    except KeyError:
+        from .content import TEMPLATE_NAMES
+
+        raise SystemExit(
+            f"unknown template {name!r}; available: {', '.join(TEMPLATE_NAMES)}"
+        )
 
 
 def default_camera(space, width, height, options):

@@ -194,6 +194,8 @@ class Space:
         p_live = len(evs)
         p = max(pad_palette_to, _round_up(p_live, 8))
 
+        from ..raytrace import accel
+
         resolution = np.ones(p, np.int32)
         visible = np.zeros(p, bool)
         opaque_faces = np.zeros((p, 6), bool)
@@ -201,23 +203,29 @@ class Space:
         light_emission = np.zeros((p, 3), np.float32)
         collision_uniform = np.zeros(p, np.int32)
         voxel_index = np.full(p, -1, np.int32)
-        atom_color = np.zeros((p, 4), np.float32)
-        atom_emission = np.zeros((p, 3), np.float32)
+        res_log2 = np.zeros(p, np.int32)
+        palette_rows = np.zeros((p, 8), np.float32)
 
         vox_entries = [i for i, ev in enumerate(evs) if ev.resolution > 1]
         max_r = max([evs[i].resolution for i in vox_entries], default=1)
         v = max(1, len(vox_entries))
-        vox_color = np.zeros((v, max_r, max_r, max_r, 4), np.float32)
-        vox_emission = np.zeros((v, max_r, max_r, max_r, 3), np.float32)
+        vox_rows = np.zeros((v, max_r, max_r, max_r, 8), np.float32)
         vox_solid = np.zeros((v, max_r, max_r, max_r), bool)
+        vox_cells = np.zeros((v, max_r, max_r, max_r), np.int32)
 
         for vi, bi in enumerate(vox_entries):
             ev = evs[bi]
             r = ev.resolution
             voxel_index[bi] = vi
-            vox_color[vi, :r, :r, :r] = ev.voxels.color
-            vox_emission[vi, :r, :r, :r] = ev.voxels.emission
+            vox_rows[vi, :r, :r, :r, 0:4] = ev.voxels.color
+            vox_rows[vi, :r, :r, :r, 4:7] = ev.voxels.emission
             vox_solid[vi, :r, :r, :r] = ev.voxels.collision > 0
+            vvis = (ev.voxels.color[..., 3] > 0) | (ev.voxels.emission != 0).any(-1)
+            vskip = accel.np_skip_distance_field(vvis)
+            vox_cells[vi, :r, :r, :r] = (
+                vvis.astype(np.int32) * accel.VISIBLE_BIT
+                | (vskip & accel.SKIP_MASK) << accel.SKIP_SHIFT
+            )
 
         for i, ev in enumerate(evs):
             resolution[i] = ev.resolution
@@ -227,8 +235,23 @@ class Space:
             face_colors[i, 6] = ev.color
             light_emission[i] = ev.light_emission
             collision_uniform[i] = -1 if ev.uniform_collision is None else ev.uniform_collision
-            atom_color[i] = ev.voxels.color[0, 0, 0]
-            atom_emission[i] = ev.voxels.emission[0, 0, 0]
+            res_log2[i] = int(np.log2(ev.resolution))
+            palette_rows[i, 0:4] = ev.voxels.color[0, 0, 0]
+            palette_rows[i, 4:7] = ev.voxels.emission[0, 0, 0]
+
+        light_face_rows = np.zeros((p * 6, 8), np.float32)
+        for i in range(p_live):
+            for f in range(6):
+                light_face_rows[i * 6 + f, 0:4] = face_colors[i, f]
+                light_face_rows[i * 6 + f, 4] = float(opaque_faces[i, f]) + 2.0 * float(
+                    visible[i]
+                )
+                light_face_rows[i * 6 + f, 5:8] = light_emission[i]
+
+        space_cells = accel.build_trace_cells(
+            self.contents.astype(np.int32), visible, voxel_index >= 0, res_log2
+        )
+        cells = np.concatenate([space_cells.reshape(-1), vox_cells.reshape(-1)])
 
         tables = BlockTables(
             resolution=jnp.asarray(resolution),
@@ -238,10 +261,10 @@ class Space:
             light_emission=jnp.asarray(light_emission),
             collision_uniform=jnp.asarray(collision_uniform),
             voxel_index=jnp.asarray(voxel_index),
-            atom_color=jnp.asarray(atom_color),
-            atom_emission=jnp.asarray(atom_emission),
-            vox_color=jnp.asarray(vox_color),
-            vox_emission=jnp.asarray(vox_emission),
+            res_log2=jnp.asarray(res_log2),
+            light_face_rows=jnp.asarray(light_face_rows),
+            palette_rows=jnp.asarray(palette_rows),
+            vox_rows=jnp.asarray(vox_rows),
             vox_solid=jnp.asarray(vox_solid),
         )
         sky = self.physics.sky
@@ -249,6 +272,7 @@ class Space:
             contents=jnp.asarray(self.contents),
             light=jnp.asarray(self.light),
             light_dirty=jnp.asarray(self.light_dirty),
+            cells=jnp.asarray(cells),
             tables=tables,
             sky_faces=jnp.asarray(sky.block_sky_faces()),
             sky_octants=jnp.asarray(sky.octants),

@@ -46,13 +46,16 @@ class BlockTables:
     light_emission: jax.Array  # f32[P,3]
     collision_uniform: jax.Array  # i32[P]: -1 non-uniform, else class
     voxel_index: jax.Array  # i32[P]: -1 = atom, else row in vox_* tables
-    # Atom fast-path per-block voxel data (the single Evoxel for R=1):
-    atom_color: jax.Array  # f32[P,4]
-    atom_emission: jax.Array  # f32[P,3]
-    # Voxel tables [V, R, R, R, ...]:
-    vox_color: jax.Array  # f32[V,R,R,R,4] straight alpha
-    vox_emission: jax.Array  # f32[V,R,R,R,3]
-    vox_solid: jax.Array  # bool[V,R,R,R] collision==HARD
+    res_log2: jax.Array  # i32[P] log2(resolution) (for cell packing)
+    #: Light-walk rows [P*6, 8]: per (block, entered-face) everything one
+    #: chart step needs — face r,g,b,alpha; flags (opaque + 2·visible);
+    #: emission rgb. One row gather replaces four element gathers.
+    light_face_rows: jax.Array  # f32[P*6, 8]
+    # Shading rows (one wide row-gather fetches all material data; rows
+    # cost the same as single elements on TPU — see raytrace/accel.py):
+    palette_rows: jax.Array  # f32[P,8]: atom rgba, emission rgb, spare
+    vox_rows: jax.Array  # f32[V,R,R,R,8]: voxel rgba, emission rgb, spare
+    vox_solid: jax.Array  # bool[V,R,R,R] collision==HARD (physics)
 
     @property
     def padded_palette_size(self) -> int:
@@ -60,7 +63,7 @@ class BlockTables:
 
     @property
     def padded_voxel_resolution(self) -> int:
-        return self.vox_color.shape[1]
+        return self.vox_rows.shape[1]
 
 
 @jax.tree_util.register_dataclass
@@ -75,6 +78,10 @@ class SpaceState:
     contents: jax.Array  # u16[X,Y,Z] palette indices
     light: jax.Array  # u8[X,Y,Z,4] PackedLight texels
     light_dirty: jax.Array  # u8[X,Y,Z] relight priority (0 = clean)
+    #: Packed traversal cells (raytrace/accel.py): the space's cells
+    #: flattened, concatenated with every voxel-block entry's cells, so the
+    #: raytracer's two-level DDA uses a single gather per step.
+    cells: jax.Array  # i32[X*Y*Z + V*R³]
     tables: BlockTables
     sky_faces: jax.Array  # f32[6,3] BlockSky per-face (quantized)
     sky_octants: jax.Array  # f32[8,3]
@@ -133,19 +140,37 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
     The device half of `SpaceTransaction` commit (space/space_txn.rs:34):
     positions are index-space (N, 3); callers have already checked
     preconditions. Light dirty marks are set on the cubes and their 6
-    neighbors (light/updater.rs re-enqueue semantics on content change).
+    neighbors (light/updater.rs re-enqueue semantics on content change),
+    and the traversal cells (skip-distance field included) are rebuilt —
+    a dense VPU pass, the device analog of the reference's `SpaceChange`
+    listener fan-out to its renderers.
     """
+    from ..math.faces import FACE7_NORMALS  # local import to avoid cycle
+    from ..raytrace.accel import build_trace_cells
+
     size = state.contents.shape
     contents = state.contents.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
         new_indices.astype(state.contents.dtype), mode="drop"
     )
-    from ..math.faces import FACE7_NORMALS  # local import to avoid cycle
 
     neighbors = idx[:, None, :] + jnp.asarray(FACE7_NORMALS, jnp.int32)[None, :, :]
     flatn = neighbors.reshape(-1, 3)
     dirty = state.light_dirty.at[flatn[:, 0], flatn[:, 1], flatn[:, 2]].max(
         jnp.uint8(255), mode="drop"
     )
+
+    t = state.tables
+    space_cells = build_trace_cells(
+        contents.astype(jnp.int32),
+        t.visible,
+        t.voxel_index >= 0,
+        t.res_log2,
+    ).reshape(-1)
+    n_space = space_cells.shape[0]
+    cells = jnp.concatenate([space_cells, state.cells[n_space:]])
+
     import dataclasses
 
-    return dataclasses.replace(state, contents=contents, light_dirty=dirty)
+    return dataclasses.replace(
+        state, contents=contents, light_dirty=dirty, cells=cells
+    )

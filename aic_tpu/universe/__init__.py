@@ -8,6 +8,19 @@ from .transaction import (
     TransactionConflict,
     UniverseTransaction,
 )
+from .cursor import (
+    Activate,
+    CopyFromSpace,
+    Cursor,
+    CustomTool,
+    Inventory,
+    PlaceBlock,
+    RemoveBlock,
+    Tool,
+    click,
+    cursor_raycast,
+    free_editing_inventory,
+)
 from .universe import Behavior, Character, Clock, Tick, Universe, UniverseStepInfo
 
 __all__ = [
@@ -15,4 +28,7 @@ __all__ = [
     "OperationFailed", "CubeEdit", "PreconditionFailed", "SpaceTransaction",
     "TransactionConflict", "UniverseTransaction", "Behavior", "Character",
     "Clock", "Tick", "Universe", "UniverseStepInfo",
+    "Activate", "CopyFromSpace", "Cursor", "CustomTool", "Inventory",
+    "PlaceBlock", "RemoveBlock", "Tool", "click", "cursor_raycast",
+    "free_editing_inventory",
 ]

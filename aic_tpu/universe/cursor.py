@@ -1,0 +1,180 @@
+"""Cursor raycast + tools/inventory: player interaction with the world.
+
+Reference: all-is-cubes/src/character/cursor.rs:109 `Cursor`,
+character.rs:307 `Character::click`, inv/tool.rs:31 `Tool`,
+inv/inventory.rs:31 `Inventory`.
+
+Clicks are rare host-side events (a few per second at most), so cursor
+picking walks the host mirror with the host raycaster; the resulting edits
+compile to the same device scatters as any transaction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..block import AIR, Block
+from ..math import faces, raycast
+from .op import Operation, OperationFailed
+from .transaction import SpaceTransaction
+
+
+@dataclass
+class Cursor:
+    """cursor.rs:109: the cube the player is pointing at."""
+
+    cube: tuple[int, int, int]
+    face: int  # face of `cube` that was hit (entry face)
+    t_distance: float
+    block: Block
+
+    @property
+    def preceding_cube(self) -> tuple[int, int, int]:
+        """The empty cube in front of the hit face (placement target)."""
+        n = faces.FACE_NORMALS[self.face] if self.face < 6 else np.zeros(3, int)
+        return tuple(int(c + d) for c, d in zip(self.cube, n))
+
+
+def cursor_raycast(space, origin, direction, max_distance: float = 10.0) -> Optional[Cursor]:
+    """First selectable block along the ray (character.rs cursor logic).
+
+    origin/direction in world coordinates; t limited so reach is
+    `max_distance` cubes (direction is normalized internally).
+    """
+    direction = np.asarray(direction, np.float64)
+    n = np.linalg.norm(direction)
+    if n == 0:
+        return None
+    direction = direction / n
+    for step in raycast.raycast(origin, direction, bounds=space.bounds, t_max=max_distance):
+        ev = space.evaluated_block_at(step.cube)
+        if ev.visible and ev.attributes.selectable:
+            return Cursor(
+                cube=step.cube,
+                face=step.face,
+                t_distance=step.t_distance,
+                block=space.block_at(step.cube),
+            )
+    return None
+
+
+# -- Tools (inv/tool.rs:31) ---------------------------------------------------
+
+
+class Tool:
+    """Base: use(universe, space_name, cursor) -> SpaceTransaction."""
+
+    def use(self, universe, space_name: str, cursor: Cursor) -> SpaceTransaction:
+        raise OperationFailed("tool has no effect")
+
+
+@dataclass(frozen=True)
+class Activate(Tool):
+    """Tool::Activate: run the block's activation_action."""
+
+    def use(self, universe, space_name, cursor):
+        action = cursor.block.attributes.activation_action
+        if action is None:
+            raise OperationFailed("block has no activation action")
+        return action.apply(universe.spaces[space_name], cursor.cube)
+
+
+@dataclass(frozen=True)
+class RemoveBlock(Tool):
+    """Tool::RemoveBlock: delete the targeted block (optionally keeping
+    it — inventory pickup lands with stacking support)."""
+
+    keep: bool = True
+
+    def use(self, universe, space_name, cursor):
+        return SpaceTransaction.set_cube(cursor.cube, old=cursor.block, new=AIR)
+
+
+@dataclass(frozen=True)
+class PlaceBlock(Tool):
+    """Tool::Block / Tool::InfiniteBlocks: place into the empty cube in
+    front of the hit face."""
+
+    block: Block
+    infinite: bool = True
+
+    def use(self, universe, space_name, cursor):
+        space = universe.spaces[space_name]
+        target = cursor.preceding_cube
+        if not space.bounds.contains_cube(target):
+            raise OperationFailed("placement outside bounds")
+        return SpaceTransaction.set_cube(target, old=AIR, new=self.block)
+
+
+@dataclass(frozen=True)
+class CopyFromSpace(Tool):
+    """Tool::CopyFromSpace: pick the targeted block into the inventory."""
+
+    def use(self, universe, space_name, cursor):
+        raise OperationFailed("copy is handled by Inventory.click")
+
+
+@dataclass(frozen=True)
+class CustomTool(Tool):
+    """Tool::Custom(Operation)."""
+
+    operation: Operation
+
+    def use(self, universe, space_name, cursor):
+        return self.operation.apply(universe.spaces[space_name], cursor.cube)
+
+
+@dataclass
+class Inventory:
+    """inv/inventory.rs:31: slots + selection."""
+
+    slots: list = field(default_factory=list)
+    selected: int = 0
+
+    def selected_tool(self) -> Optional[Tool]:
+        if 0 <= self.selected < len(self.slots):
+            return self.slots[self.selected]
+        return None
+
+
+def free_editing_inventory() -> Inventory:
+    """content free_editing_starter_inventory analog: activate, delete,
+    copy, plus nothing else until block catalogs are linked in."""
+    return Inventory(slots=[Activate(), RemoveBlock(), CopyFromSpace()])
+
+
+def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> bool:
+    """character.rs:307 Character::click: dispatch the selected tool (or
+    Activate for button 1) at the cursor; commits on success. Returns
+    whether an edit happened."""
+    if cursor is None:
+        return False
+    inv = getattr(character, "inventory_obj", None)
+    if inv is None:
+        inv = free_editing_inventory()
+        character.inventory_obj = inv
+    tool = Activate() if button == 1 else inv.selected_tool()
+    if tool is None:
+        return False
+    space_name = character.space_name
+    if isinstance(tool, CopyFromSpace):
+        inv.slots.append(PlaceBlock(cursor.block))
+        inv.selected = len(inv.slots) - 1
+        return True
+    try:
+        txn = tool.use(universe, space_name, cursor)
+    except OperationFailed:
+        return False
+    try:
+        txn.check(universe.spaces[space_name])
+    except Exception:
+        return False
+    new_state = txn.commit(universe.spaces[space_name], universe.states.get(space_name))
+    if new_state is None:
+        universe.resnapshot(space_name)
+    else:
+        universe.states[space_name] = new_state
+    return True

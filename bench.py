@@ -26,8 +26,10 @@ def main():
     space = cornell_box(32)
     state = space.snapshot()
     # Partial relight: enough for a lit scene; full-convergence relighting
-    # is benchmarked separately (it is its own headline metric).
-    state, _ = evaluate_light(state, batch_size=4096, max_rounds=40)
+    # is benchmarked separately (it is its own headline metric). Kept small
+    # so the driver's bench run stays fast — ray throughput does not depend
+    # on light convergence.
+    state, _ = evaluate_light(state, batch_size=2048, max_rounds=8)
 
     options = GraphicsOptions(
         lighting_display="smoothstep", fog="none", transparency="surface"

@@ -131,7 +131,7 @@ class TestSpace:
         st = sp.snapshot()
         assert st.contents.shape == (4, 4, 4)
         assert st.light.shape == (4, 4, 4, 4)
-        assert st.tables.vox_color.shape[1:] == (8, 8, 8, 4)
+        assert st.tables.vox_rows.shape[1:] == (8, 8, 8, 8)
         assert int(st.tables.voxel_index[1]) == 0  # recur block is voxel entry 0
         assert int(st.tables.voxel_index[2]) == -1  # atom
         assert st.tables.padded_palette_size % 8 == 0

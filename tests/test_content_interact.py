@@ -1,0 +1,133 @@
+"""Content templates, cursor/tools, chunking, session tests."""
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.content import TEMPLATE_NAMES, TemplateParameters, build_template_space, build_universe
+from aic_tpu.math.chunking import chunk_chart, chunks_near, cube_to_chunk
+from aic_tpu.math.grid import GridAab
+from aic_tpu.space import Space
+from aic_tpu.universe import (
+    Cursor,
+    PlaceBlock,
+    RemoveBlock,
+    Universe,
+    click,
+    cursor_raycast,
+)
+
+
+class TestTemplates:
+    @pytest.mark.parametrize(
+        "name", [n for n in TEMPLATE_NAMES if n not in ("fail",)]
+    )
+    def test_builds_nonempty(self, name):
+        sp = build_template_space(name, TemplateParameters(seed=1, size=32))
+        assert sp.bounds.volume() > 0
+        if name != "blank":
+            assert (sp.contents != 0).sum() > 0
+            assert sp.palette_len() > 1
+
+    def test_fail_template(self):
+        with pytest.raises(RuntimeError):
+            build_template_space("fail")
+
+    def test_seed_determinism(self):
+        a = build_template_space("random", TemplateParameters(seed=7, size=16))
+        b = build_template_space("random", TemplateParameters(seed=7, size=16))
+        np.testing.assert_array_equal(a.contents, b.contents)
+
+    def test_atrium_has_r16_blocks(self):
+        sp = build_template_space("atrium", TemplateParameters())
+        assert any(sp.evaluated(i).resolution == 16 for i in range(sp.palette_len()))
+
+    def test_build_universe_spawns_character(self):
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        assert "player" in u.characters
+        assert u.bodies is not None
+
+
+class TestCursor:
+    def space_with_block(self):
+        sp = Space(GridAab.cube(8))
+        sp.set((4, 2, 4), block.from_color((1, 0, 0, 1), "target"))
+        return sp
+
+    def test_cursor_hits_block(self):
+        sp = self.space_with_block()
+        cur = cursor_raycast(sp, (4.5, 2.5, 0.5), (0, 0, 1))
+        assert cur is not None
+        assert cur.cube == (4, 2, 4)
+        from aic_tpu.math import faces
+
+        assert cur.face == faces.NZ
+        assert cur.preceding_cube == (4, 2, 3)
+
+    def test_cursor_misses(self):
+        sp = self.space_with_block()
+        assert cursor_raycast(sp, (0.5, 7.5, 0.5), (0, 0, 1)) is None
+
+    def test_cursor_respects_reach(self):
+        sp = self.space_with_block()
+        assert cursor_raycast(sp, (4.5, 2.5, 0.5), (0, 0, 1), max_distance=2.0) is None
+
+    def test_click_remove_and_place(self):
+        u = Universe()
+        sp = self.space_with_block()
+        u.insert_space("world", sp)
+        ch = u.insert_character("player", "world", (4.0, 2.0, 1.0))
+
+        cur = cursor_raycast(sp, (4.5, 2.5, 0.5), (0, 0, 1))
+        ch.inventory_obj = None  # default inventory
+        from aic_tpu.universe import free_editing_inventory
+
+        ch.inventory_obj = free_editing_inventory()
+        ch.inventory_obj.selected = 1  # RemoveBlock
+        assert click(u, ch, cur, button=0)
+        assert sp.block_at((4, 2, 4)) == block.AIR
+
+        # Place a block back via PlaceBlock on the floor... place against
+        # another block: re-add one.
+        sp.set((4, 0, 4), block.from_color((0, 1, 0, 1), "floor"))
+        cur = cursor_raycast(sp, (4.5, 3.5, 4.5), (0, -1, 0))
+        assert cur.cube == (4, 0, 4)
+        ch.inventory_obj.slots.append(PlaceBlock(block.from_color((0, 0, 1, 1), "placed")))
+        ch.inventory_obj.selected = len(ch.inventory_obj.slots) - 1
+        assert click(u, ch, cur, button=0)
+        assert sp.block_at((4, 1, 4)).attributes.display_name == "placed"
+        # Device state tracked it.
+        st = u.get_state("world")
+        assert int(np.asarray(st.contents)[4, 1, 4]) == sp.index_at((4, 1, 4))
+
+
+class TestChunking:
+    def test_chart_sorted_near_to_far(self):
+        chart = chunk_chart(3.0)
+        d2 = (chart.astype(int) ** 2).sum(-1)
+        assert (np.diff(d2) >= 0).all()
+        assert tuple(chart[0]) == (0, 0, 0)
+
+    def test_chunks_near(self):
+        out = list(chunks_near((2, 0, -1), 16.0))
+        assert out[0] == (2, 0, -1)
+        assert len(out) > 7
+
+    def test_cube_to_chunk(self):
+        assert cube_to_chunk((0, 0, 0)) == (0, 0, 0)
+        assert cube_to_chunk((-1, 16, 31)) == (-1, 1, 1)
+
+
+class TestSession:
+    def test_session_frame(self):
+        from aic_tpu.apps import Session
+        from aic_tpu.raytrace import Viewport
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(16, 16))
+        s.input.keys.add("w")
+        steps = s.maybe_step(now=100.0)
+        assert steps >= 1
+        r = s.render()
+        assert r.data.shape == (16, 16, 4)
