@@ -1,0 +1,418 @@
+"""Whole-volume dense relight: one Jacobi pass relights EVERY cube at once.
+
+This is the second half of the TPU re-design of the reference light updater
+(all-is-cubes/src/space/light/updater.rs): `relight_batch` (update.py)
+covers the incremental queue case (few dirty cubes → top-k batch of
+gathers); this module covers the bulk case (scene load, big edits, full
+`evaluate_light`), where the reference would churn through its queue in
+32-cube batches for minutes (updater.rs:206-246).
+
+Key idea: when *all* cubes are relit together, the chart-step lookup
+``cell[cube + offset[r, s]]`` stops being a gather — for a fixed (ray,
+step) pair it is the SAME offset for every cube, i.e. a *shifted dense
+window* of the volume. The whole pass becomes a `lax.scan` over the
+chart's (ray, step) pairs whose body is a handful of `dynamic_slice`s
+plus VPU elementwise math: zero gathers, zero scatters, perfectly
+shaped for the TPU vector unit. (Per-step semantics are identical to
+relight_batch / LightBuffer::traverse, updater.rs:755-880.)
+
+Cost model (measured, PERF.md): a pass touches ~60 B/cube per (ray, step)
+pair; pairs ≈ 602 rays × mean steps. Convergence needs a few passes
+(diffuse interreflection converges geometrically in bounce count), each a
+single fused XLA program — vs. the reference's per-cube DFS tree walk.
+
+The pair tables are truncated per space size: a step whose offset exceeds
+the volume extent on any axis is outside the bounds for EVERY cube, so it
+is recorded as a forced ray end (sky exit), which is exactly what the
+per-cube walk would do at that step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import faces, lightpack
+from ..space.state import SpaceState
+from .chart import STEP_END, STEP_PAD
+from .update import _chart_host
+
+
+@functools.lru_cache(maxsize=16)
+def _pair_tables(max_distance: int, size: tuple[int, int, int]):
+    """Flattened (ray, step) pair tables, truncated to the volume extent.
+
+    Returns dict of numpy arrays over N pairs:
+      off i32[N,3], face i32[N], is_end bool[N], ray_new bool[N],
+      ray_id i32[N]; plus cosines f32[R,6].
+    """
+    ch = _chart_host(max_distance)
+    offsets, faces_in, kinds = ch["offsets"], ch["faces_in"], ch["kinds"]
+    size_a = np.asarray(size, np.int64)
+
+    off_l, face_l, end_l, new_l, ray_l = [], [], [], [], []
+    for r in range(ch["n_rays"]):
+        first = True
+        for s in range(ch["max_steps"]):
+            kind = kinds[r, s]
+            if kind == STEP_PAD:
+                break
+            off = offsets[r, s].astype(np.int64)
+            # Outside the volume for every cube → forced end (sky exit).
+            forced_end = bool((np.abs(off) >= size_a).any())
+            off_l.append(offsets[r, s])
+            face_l.append(faces_in[r, s])
+            end_l.append(bool(kind == STEP_END) or forced_end)
+            new_l.append(first)
+            ray_l.append(r)
+            first = False
+            if end_l[-1]:
+                break
+    return dict(
+        off=np.asarray(off_l, np.int32),
+        face=np.asarray(face_l, np.int32),
+        is_end=np.asarray(end_l, np.bool_),
+        ray_new=np.asarray(new_l, np.bool_),
+        ray_id=np.asarray(ray_l, np.int32),
+        cosines=np.asarray(ch["cosines"], np.float32),
+    )
+
+
+def _shift_bool(vol, normal):
+    """vol shifted so out[c] = vol[c + normal] with False outside."""
+    out = vol
+    for a in range(3):
+        n = int(normal[a])
+        if n == 0:
+            continue
+        pad = [(0, 0)] * 3
+        if n > 0:
+            pad[a] = (0, n)
+            out = jnp.pad(out, pad)[
+                tuple(slice(n, None) if i == a else slice(None) for i in range(3))
+            ]
+        else:
+            pad[a] = (-n, 0)
+            out = jnp.pad(out, pad)[
+                tuple(slice(0, vol.shape[a]) if i == a else slice(None) for i in range(3))
+            ]
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RelightCtx:
+    """Contents-derived volumes reused across passes (light-independent)."""
+
+    face_vol: jax.Array  # bf16[6, Xp, Yp, Zp, 8] padded light_face_rows
+    dir_weights: jax.Array  # f32[X,Y,Z,6]
+    alpha0: jax.Array  # f32[X,Y,Z]
+    incoming0: jax.Array  # f32[X,Y,Z,3]
+    origin_opaque: jax.Array  # bool[X,Y,Z]
+    origin_emission: jax.Array  # f32[X,Y,Z,3]
+    pad: tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+
+
+def build_relight_ctx(state: SpaceState) -> RelightCtx:
+    """Precompute the dense per-cube volumes one pass needs.
+
+    One full-volume gather each (palette is tiny; these run at memory
+    speed) — amortized over all passes of an evaluate_light call.
+    """
+    t = state.tables
+    size = state.contents.shape
+    idx = state.contents.astype(jnp.int32)
+
+    # Padded per-face light-walk rows. Pad on each axis by the largest
+    # usable offset so every pair's shifted window is a plain slice.
+    md = state.light_max_distance
+    pad = tuple(min(md + 1, s) for s in size)
+    rows = jnp.take(
+        t.light_face_rows.reshape(t.padded_palette_size, 6, 8).astype(jnp.bfloat16),
+        idx,
+        axis=0,
+    )  # [X,Y,Z,6,8]
+    rows = jnp.moveaxis(rows, 3, 0)  # [6,X,Y,Z,8]
+    face_vol = jnp.pad(
+        rows, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2]), (0, 0))
+    )
+
+    visible_v = jnp.take(t.visible, idx, axis=0)
+    emission_v = jnp.take(t.light_emission, idx, axis=0)  # [X,Y,Z,3]
+    emissive_v = (emission_v != 0).any(-1)
+    origin_opaque = jnp.take(t.opaque_faces.all(-1), idx, axis=0)
+    mean_alpha = jnp.clip(jnp.take(t.face_colors[:, 6, 3], idx, axis=0), 0.0, 1.0)
+
+    # directions_to_seek_light (updater.rs:663), dense: per face f the
+    # neighbor in direction f; visibility tested through the opposite slot
+    # exactly as relight_batch does.
+    normals = faces.FACE_NORMALS
+    vis_sh = [_shift_bool(visible_v, normals[f]) for f in range(6)]
+    emis_sh = [_shift_bool(emissive_v, normals[f]) for f in range(6)]
+    opp = faces.OPPOSITE[:6]
+    dir_weights = jnp.stack(
+        [
+            jnp.where(visible_v | vis_sh[int(opp[f])] | emis_sh[f], 1.0, 0.0)
+            for f in range(6)
+        ],
+        axis=-1,
+    )  # [X,Y,Z,6]
+
+    # Root step (face Within — see relight_batch for the derivation).
+    root_pickup = visible_v & ~origin_opaque & (mean_alpha < 1.0)
+    root_contrib = jnp.where(root_pickup[..., None], emission_v, 0.0)
+    alpha0 = jnp.where(root_pickup, 1.0 - mean_alpha, 1.0)
+    ch = _pair_tables(md, size)
+    w_total = dir_weights @ jnp.asarray(ch["cosines"].sum(axis=0))  # [X,Y,Z]
+    incoming0 = root_contrib * w_total[..., None]
+
+    return RelightCtx(
+        face_vol=face_vol,
+        dir_weights=dir_weights,
+        alpha0=alpha0,
+        incoming0=incoming0,
+        origin_opaque=origin_opaque,
+        origin_emission=emission_v,
+        pad=pad,
+    )
+
+
+def _padded_light(state: SpaceState, pad):
+    """Decoded stored light, padded with the BlockSky one-ring.
+
+    Positions outside the bounds read as the sky face value when adjacent
+    to exactly one face, zero otherwise (sky.rs:96 `light_outside`) — here
+    realized as literal face slabs in the padding (slabs exclude edges and
+    corners, so 'exactly one face' holds by construction).
+    """
+    size = state.light.shape[:3]
+    lp = jnp.zeros(
+        (size[0] + 2 * pad[0], size[1] + 2 * pad[1], size[2] + 2 * pad[2], 3),
+        jnp.float32,
+    )
+    inner = tuple(slice(pad[a], pad[a] + size[a]) for a in range(3))
+    lp = lp.at[inner[0], inner[1], inner[2]].set(lightpack.decode_rgb(state.light))
+    sky = state.sky_faces  # [6,3] NX,NY,NZ,PX,PY,PZ
+    for a in range(3):
+        lo = [inner[0], inner[1], inner[2]]
+        hi = [inner[0], inner[1], inner[2]]
+        lo[a] = pad[a] - 1
+        hi[a] = pad[a] + size[a]
+        lp = lp.at[lo[0], lo[1], lo[2]].set(sky[a])  # negative face slab
+        lp = lp.at[hi[0], hi[1], hi[2]].set(sky[a + 3])  # positive face slab
+    return lp
+
+
+@jax.jit
+def relight_all_pass(state: SpaceState, ctx: RelightCtx):
+    """One Jacobi pass: new packed light u8[X,Y,Z,4] for every cube.
+
+    Bitwise-identical per-cube results to `relight_batch` over the full
+    cube list (tested); each pass reads only the pre-pass light field.
+    """
+    size = state.contents.shape
+    pad = ctx.pad
+    ch = _pair_tables(state.light_max_distance, size)
+    cosines = jnp.asarray(ch["cosines"])  # [R,6]
+    sky_ray_table = (cosines @ state.sky_faces) / cosines.sum(-1, keepdims=True)
+
+    light_pad = _padded_light(state, pad)
+    normals = jnp.asarray(faces.FACE_NORMALS, jnp.int32)
+    pad_v = jnp.asarray(pad, jnp.int32)
+    size_v = jnp.asarray(size, jnp.int32)
+
+    # Coordinate grids for the arithmetic inside-mask.
+    gx = jax.lax.broadcasted_iota(jnp.int32, size, 0)
+    gy = jax.lax.broadcasted_iota(jnp.int32, size, 1)
+    gz = jax.lax.broadcasted_iota(jnp.int32, size, 2)
+
+    xs = dict(
+        off=jnp.asarray(ch["off"]),
+        face=jnp.asarray(ch["face"]),
+        is_end=jnp.asarray(ch["is_end"]),
+        ray_new=jnp.asarray(ch["ray_new"]),
+        ray_id=jnp.asarray(ch["ray_id"]),
+    )
+
+    zero_v = jnp.zeros(size, jnp.float32)
+
+    def body(carry, x):
+        alpha, live, incoming, total_w, ray_w, sky_ray = carry
+
+        def start_ray(_):
+            cos_r = jax.lax.dynamic_slice(cosines, (x["ray_id"], 0), (1, 6))[0]
+            rw = ctx.dir_weights @ cos_r
+            return (
+                ctx.alpha0,
+                (rw > 0.0) & (ctx.alpha0 > 0.0),
+                incoming,
+                total_w,
+                rw,
+                jax.lax.dynamic_slice(sky_ray_table, (x["ray_id"], 0), (1, 3))[0],
+            )
+
+        alpha, live, incoming, total_w, ray_w, sky_ray = jax.lax.cond(
+            x["ray_new"],
+            start_ray,
+            lambda _: (alpha, live, incoming, total_w, ray_w, sky_ray),
+            None,
+        )
+
+        off = x["off"]
+        # Shifted face-row window for the entered face (one dynamic slice).
+        fsl = jax.lax.dynamic_slice(
+            ctx.face_vol,
+            (x["face"], off[0] + pad_v[0], off[1] + pad_v[1], off[2] + pad_v[2], 0),
+            (1,) + size + (8,),
+        )[0].astype(jnp.float32)
+        fc = fsl[..., 0:4]
+        flags = fsl[..., 4]
+        opaque_f = jnp.mod(flags, 2.0) >= 1.0
+        visible = flags >= 2.0
+        emission = fsl[..., 5:8]
+
+        inside = (
+            (gx + off[0] >= 0)
+            & (gx + off[0] < size_v[0])
+            & (gy + off[1] >= 0)
+            & (gy + off[1] < size_v[1])
+            & (gz + off[2] >= 0)
+            & (gz + off[2] < size_v[2])
+        )
+
+        exits = live & (x["is_end"] | ~inside)
+        hit_alpha = jnp.clip(fc[..., 3], 0.0, 1.0)
+        interacting = live & ~exits & visible
+
+        # Struck-face branch: reflect the light stored *behind* the face.
+        nrm = jnp.take(normals, x["face"], axis=0)
+        behind = jax.lax.dynamic_slice(
+            light_pad,
+            (
+                off[0] + nrm[0] + pad_v[0],
+                off[1] + nrm[1] + pad_v[1],
+                off[2] + nrm[2] + pad_v[2],
+                0,
+            ),
+            size + (3,),
+        )
+        struck = interacting & (hit_alpha > 0.0)
+        light_struck = emission + fc[..., :3] * behind * hit_alpha[..., None]
+        contrib = jnp.where(
+            struck[..., None], light_struck * (alpha * ray_w)[..., None], 0.0
+        )
+        hit_opaque = struck & opaque_f
+        alpha = jnp.where(struck & ~hit_opaque, alpha * (1.0 - hit_alpha), alpha)
+
+        # Pass-through branch: pick up the cube's own stored light.
+        own = jax.lax.dynamic_slice(
+            light_pad,
+            (off[0] + pad_v[0], off[1] + pad_v[1], off[2] + pad_v[2], 0),
+            size + (3,),
+        )
+        through = interacting & (hit_alpha < 1.0) & ~hit_opaque
+        light_through = emission + own * hit_alpha[..., None]
+        contrib = contrib + jnp.where(
+            through[..., None], light_through * (alpha * ray_w)[..., None], 0.0
+        )
+        alpha = jnp.where(through, alpha * (1.0 - hit_alpha), alpha)
+
+        alpha = jnp.where(hit_opaque, zero_v, alpha)
+        ends_now = exits | hit_opaque | (live & (alpha <= 0.0) & ~exits)
+        contrib = contrib + jnp.where(
+            ends_now[..., None], sky_ray * (alpha * ray_w)[..., None], 0.0
+        )
+        total_w = total_w + jnp.where(ends_now, ray_w, 0.0)
+        live = live & ~ends_now
+        incoming = incoming + contrib
+        return (alpha, live, incoming, total_w, ray_w, sky_ray), None
+
+    init = (
+        ctx.alpha0,
+        jnp.zeros(size, jnp.bool_),
+        ctx.incoming0,
+        zero_v,
+        zero_v,
+        jnp.zeros(3, jnp.float32),
+    )
+    (alpha, live, incoming, total_w, _, _), _ = jax.lax.scan(body, init, xs)
+
+    # finish (updater.rs:925) — identical to relight_batch's tail.
+    total = total_w
+    origin_emissive = (ctx.origin_emission != 0).any(-1)
+    opaque_emissive = ctx.origin_opaque & origin_emissive
+    total = jnp.where(
+        ctx.origin_opaque, jnp.where(opaque_emissive, 1.0, 0.0), total
+    )
+    incoming = jnp.where(
+        ctx.origin_opaque[..., None],
+        jnp.where(opaque_emissive[..., None], ctx.origin_emission, 0.0),
+        incoming,
+    )
+    rgb = incoming / jnp.maximum(total, 1.0)[..., None]
+    packed_rgb = lightpack.encode_scalar(rgb)
+    status = jnp.where(
+        total > 0.0,
+        lightpack.STATUS_VISIBLE,
+        jnp.where(
+            ctx.origin_opaque, lightpack.STATUS_OPAQUE, lightpack.STATUS_NO_RAYS
+        ),
+    ).astype(jnp.uint8)
+    packed_rgb = jnp.where(
+        (status == lightpack.STATUS_VISIBLE)[..., None], packed_rgb, 0
+    )
+    return jnp.concatenate([packed_rgb, status[..., None]], axis=-1)
+
+
+@jax.jit
+def _apply_pass(state: SpaceState, new_light):
+    """Commit a pass: diff, neighbor dirty marks, stats (all dense)."""
+    diff = lightpack.difference_priority(state.light, new_light)  # i32[X,Y,Z]
+    bump = jnp.where(diff > 1, jnp.minimum(diff, 255), 0).astype(jnp.uint8)
+    # Neighbors of changed cubes become dirty (apply_light_update,
+    # updater.rs:289-355) — dense max over 6 shifted copies.
+    dirty = jnp.zeros_like(state.light_dirty)
+    for f in range(6):
+        n = faces.FACE_NORMALS[f]
+        dirty = jnp.maximum(dirty, _shift_bool(bump, n))
+    new_state = dataclasses.replace(state, light=new_light, light_dirty=dirty)
+    stats = dict(
+        updated=jnp.asarray(diff.size, jnp.int32),
+        max_diff=diff.max(),
+        queue_remaining=(dirty > 0).sum(),
+    )
+    return new_state, stats
+
+
+def relight_all(state: SpaceState, ctx: RelightCtx | None = None):
+    """One whole-volume relight round. Returns (state, stats)."""
+    if ctx is None:
+        ctx = build_relight_ctx(state)
+    new_light = relight_all_pass(state, ctx)
+    return _apply_pass(state, new_light)
+
+
+def evaluate_light_dense(
+    state: SpaceState, max_passes: int = 32, ctx: RelightCtx | None = None
+):
+    """Full-volume relight to convergence via Jacobi passes.
+
+    Converged when no cube moves by more than 1 packed step (the
+    reference's re-enqueue threshold, updater.rs:340). Returns
+    (state, passes_run).
+    """
+    if ctx is None:
+        ctx = build_relight_ctx(state)
+    passes = 0
+    for _ in range(max_passes):
+        state, stats = relight_all(state, ctx)
+        passes += 1
+        if int(stats["max_diff"]) <= 1:
+            break
+    # Converged: the queue is clean (every cube was just recomputed).
+    state = dataclasses.replace(state, light_dirty=jnp.zeros_like(state.light_dirty))
+    return state, passes

@@ -319,13 +319,27 @@ def light_update_round(state: SpaceState, batch_size: int = 256):
     return new_state, stats
 
 
-def evaluate_light(state: SpaceState, batch_size: int = 256, max_rounds: int = 100000):
+def evaluate_light(
+    state: SpaceState,
+    batch_size: int = 256,
+    max_rounds: int = 100000,
+    dense_threshold: float = 0.02,
+):
     """Relight to convergence (space.rs:1494 Mutation::evaluate_light).
 
-    Host loop: each round is one fused device program; the loop exits when
-    the queue drains. Returns (state, total cubes updated).
+    Strategy selection (the TPU analog of the reference's queue-vs-
+    fast_evaluate_light split): when more than `dense_threshold` of the
+    volume is dirty, whole-volume Jacobi passes (light/dense.py) relight
+    everything at once; the sparse top-k queue handles the incremental
+    tail. Returns (state, total cubes updated).
     """
+    from .dense import evaluate_light_dense  # lazy: dense imports us
+
+    n_dirty = int((state.light_dirty > 0).sum())
     total_updated = 0
+    if state.light_enabled and n_dirty > dense_threshold * state.light_dirty.size:
+        state, passes = evaluate_light_dense(state)
+        return state, passes * int(state.light_dirty.size)
     for _ in range(max_rounds):
         state, stats = light_update_round(state, batch_size=batch_size)
         total_updated += int(stats["updated"])

@@ -149,3 +149,97 @@ class TestRelight:
         assert n > 0
         # The now-solid cube becomes opaque.
         assert int(np.asarray(st2.light)[3, 3, 3, 3]) == lightpack.STATUS_OPAQUE
+
+
+class TestDenseRelight:
+    """Whole-volume Jacobi relight (light/dense.py) vs the batch kernel."""
+
+    def _all_cubes(self, shape):
+        g = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1)
+        return jnp.asarray(g.reshape(-1, 3), jnp.int32)
+
+    def test_pass_matches_batch_kernel(self):
+        """relight_all_pass must equal relight_batch over every cube."""
+        from aic_tpu.light import relight_all_pass, build_relight_ctx
+
+        sp = lit_box_space(size=6, emission=6.0)
+        st = sp.snapshot()
+        dense = np.asarray(relight_all_pass(st, build_relight_ctx(st)))
+        cubes = self._all_cubes(st.contents.shape)
+        batch = np.asarray(
+            relight_batch(st, cubes, jnp.ones(cubes.shape[0], bool))
+        ).reshape(dense.shape)
+        np.testing.assert_array_equal(dense, batch)
+
+    def test_pass_matches_batch_after_convergence_step(self):
+        """Also bit-equal on a partially-converged light field."""
+        from aic_tpu.light import relight_all, relight_all_pass, build_relight_ctx
+
+        sp = lit_box_space(size=6, emission=6.0)
+        st = sp.snapshot()
+        ctx = build_relight_ctx(st)
+        st, _ = relight_all(st, ctx)  # one pass in
+        dense = np.asarray(relight_all_pass(st, ctx))
+        cubes = self._all_cubes(st.contents.shape)
+        batch = np.asarray(
+            relight_batch(st, cubes, jnp.ones(cubes.shape[0], bool))
+        ).reshape(dense.shape)
+        np.testing.assert_array_equal(dense, batch)
+
+    def _grey_box(self, size=6, emission=6.0, albedo=0.5):
+        sp = Space(
+            GridAab.cube(size),
+            physics=SpacePhysics(sky=Sky.uniform((0, 0, 0)), light_max_distance=size * 2),
+        )
+        grey = block.from_color((albedo, albedo, albedo, 1.0))
+        for ff in [
+            GridAab.from_lower_size((0, 0, 0), (size, 1, size)),
+            GridAab.from_lower_size((0, size - 1, 0), (size, 1, size)),
+            GridAab.from_lower_size((0, 0, 0), (1, size, size)),
+            GridAab.from_lower_size((size - 1, 0, 0), (1, size, size)),
+            GridAab.from_lower_size((0, 0, 0), (size, size, 1)),
+            GridAab.from_lower_size((0, 0, size - 1), (size, size, 1)),
+        ]:
+            sp.fill(ff, grey)
+        lamp = block.Block(
+            block.Atom(color=(1, 1, 1, 1), emission=(emission,) * 3),
+            block.BlockAttributes(display_name="lamp"),
+        )
+        c = size // 2
+        sp.set((c, size - 1, c), lamp)
+        sp.fast_evaluate_light()
+        return sp
+
+    def test_dense_evaluate_converges_to_queue_fixpoint(self):
+        """Dense and queue drivers settle within 1 packed step everywhere
+        (albedo 0.5; at albedo 1.0 both iterations stop inside a slow
+        geometric tail and may legitimately differ by a few steps)."""
+        from aic_tpu.light import evaluate_light_dense
+
+        st_q, _ = evaluate_light(
+            self._grey_box().snapshot(), batch_size=128, dense_threshold=2.0
+        )
+        st_d, passes = evaluate_light_dense(self._grey_box().snapshot())
+        assert passes >= 1
+        lq = np.asarray(st_q.light).astype(np.int32)
+        ld = np.asarray(st_d.light).astype(np.int32)
+        assert np.array_equal(lq[..., 3], ld[..., 3])  # statuses identical
+        assert np.abs(lq[..., :3] - ld[..., :3]).max() <= 1
+
+    def test_truncated_chart_matches_inside_exit(self):
+        """Space smaller than light_max_distance: truncation = bounds exit."""
+        from aic_tpu.light import relight_all_pass, build_relight_ctx
+
+        sky = (0.6, 0.7, 0.8)
+        sp = Space(
+            GridAab.cube(5),
+            physics=SpacePhysics(sky=Sky.uniform(sky), light_max_distance=40),
+        )
+        sp.fill(GridAab.from_lower_size((0, 0, 0), (5, 1, 5)), block.from_color((1, 1, 1, 1)))
+        st = sp.snapshot()
+        dense = np.asarray(relight_all_pass(st, build_relight_ctx(st)))
+        cubes = self._all_cubes(st.contents.shape)
+        batch = np.asarray(
+            relight_batch(st, cubes, jnp.ones(cubes.shape[0], bool))
+        ).reshape(dense.shape)
+        np.testing.assert_array_equal(dense, batch)
