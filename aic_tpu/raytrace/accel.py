@@ -86,11 +86,17 @@ def np_skip_distance_field(visible: np.ndarray, cap: int = 15) -> np.ndarray:
     return d.astype(np.int32)
 
 
-def pack_cells(contents, palette_visible, palette_voxel, palette_res_log2, skip):
+def pack_cells(
+    contents, palette_visible, palette_voxel, palette_res_log2, skip, payload=None
+):
     """Assemble packed cells (works for jnp and np inputs).
 
     contents: int[X,Y,Z] palette indices; palette_*: per-index rows;
-    skip: i32[X,Y,Z].
+    skip: i32[X,Y,Z]. `payload` (per-palette i32) is what goes in the low
+    16 bits: palette index for atoms, voxel-table row for voxel blocks —
+    so the traversal loop never needs a second table lookup (the palette
+    index of a voxel-block *outer* cell is never used: such cells always
+    descend, and shading voxel hits reads `vox_rows` directly).
     """
     if isinstance(contents, np.ndarray):
         take = lambda t: t[contents]
@@ -98,9 +104,9 @@ def pack_cells(contents, palette_visible, palette_voxel, palette_res_log2, skip)
     else:
         take = lambda t: jnp.take(t, contents.astype(jnp.int32), axis=0)
         asty = lambda x: jnp.asarray(x, jnp.int32)
-    idx = asty(contents)
+    low = asty(contents) if payload is None else asty(take(payload))
     cell = (
-        idx
+        low
         | asty(take(palette_visible)) * VISIBLE_BIT
         | asty(take(palette_voxel)) * VOXEL_BIT
         | (asty(skip) & SKIP_MASK) << SKIP_SHIFT
@@ -109,7 +115,18 @@ def pack_cells(contents, palette_visible, palette_voxel, palette_res_log2, skip)
     return cell
 
 
-def build_trace_cells(contents, palette_visible, palette_voxel, palette_res_log2, cap=15):
+def cell_payload(palette_voxel_index):
+    """Low-16-bit cell payload per palette entry (see pack_cells)."""
+    if isinstance(palette_voxel_index, np.ndarray):
+        idx = np.arange(palette_voxel_index.shape[0], dtype=np.int32)
+        return np.where(palette_voxel_index >= 0, palette_voxel_index, idx)
+    idx = jnp.arange(palette_voxel_index.shape[0], dtype=jnp.int32)
+    return jnp.where(palette_voxel_index >= 0, palette_voxel_index, idx)
+
+
+def build_trace_cells(
+    contents, palette_visible, palette_voxel, palette_res_log2, cap=15, payload=None
+):
     """Full rebuild: visibility grid → skip field → packed cells."""
     if isinstance(contents, np.ndarray):
         vis = palette_visible[contents]
@@ -117,4 +134,6 @@ def build_trace_cells(contents, palette_visible, palette_voxel, palette_res_log2
     else:
         vis = jnp.take(palette_visible, contents.astype(jnp.int32), axis=0)
         skip = skip_distance_field(vis, cap)
-    return pack_cells(contents, palette_visible, palette_voxel, palette_res_log2, skip)
+    return pack_cells(
+        contents, palette_visible, palette_voxel, palette_res_log2, skip, payload
+    )

@@ -249,7 +249,11 @@ class Space:
                 light_face_rows[i * 6 + f, 5:8] = light_emission[i]
 
         space_cells = accel.build_trace_cells(
-            self.contents.astype(np.int32), visible, voxel_index >= 0, res_log2
+            self.contents.astype(np.int32),
+            visible,
+            voxel_index >= 0,
+            res_log2,
+            payload=accel.cell_payload(voxel_index),
         )
         cells = np.concatenate([space_cells.reshape(-1), vox_cells.reshape(-1)])
 

@@ -146,7 +146,7 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
     listener fan-out to its renderers.
     """
     from ..math.faces import FACE7_NORMALS  # local import to avoid cycle
-    from ..raytrace.accel import build_trace_cells
+    from ..raytrace.accel import build_trace_cells, cell_payload
 
     size = state.contents.shape
     contents = state.contents.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
@@ -165,6 +165,7 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
         t.visible,
         t.voxel_index >= 0,
         t.res_log2,
+        payload=cell_payload(t.voxel_index),
     ).reshape(-1)
     n_space = space_cells.shape[0]
     cells = jnp.concatenate([space_cells, state.cells[n_space:]])
