@@ -115,6 +115,36 @@ def pack_cells(
     return cell
 
 
+BRICK = 4  # cells per brick edge; a brick row = 64 cells = one gather row
+
+
+def brick_dims(shape):
+    """Number of bricks along each axis for a cell grid `shape`."""
+    return tuple((s + BRICK - 1) // BRICK for s in shape)
+
+
+def to_bricks(cells3d):
+    """[X,Y,Z] cells → [n_bricks, 64] brick rows (4³ bricks, row-local
+    order lx*16+ly*4+lz). Pads to brick multiples with 0 (air, invisible).
+
+    Row gathers on TPU cost per *row* independent of width (PERF.md), so
+    fetching a whole 4³ neighborhood costs the same as one cell — the
+    traversal loop then takes several DDA steps per fetch.
+    """
+    if isinstance(cells3d, np.ndarray):
+        pad_mod, transpose, reshape = np.pad, np.transpose, np.reshape
+    else:
+        pad_mod, transpose, reshape = jnp.pad, jnp.transpose, jnp.reshape
+    bx, by, bz = brick_dims(cells3d.shape)
+    pads = [(0, bx * BRICK - cells3d.shape[0]),
+            (0, by * BRICK - cells3d.shape[1]),
+            (0, bz * BRICK - cells3d.shape[2])]
+    p = pad_mod(cells3d, pads)
+    p = reshape(p, (bx, BRICK, by, BRICK, bz, BRICK))
+    p = transpose(p, (0, 2, 4, 1, 3, 5))
+    return reshape(p, (bx * by * bz, BRICK**3))
+
+
 def cell_payload(palette_voxel_index):
     """Low-16-bit cell payload per palette entry (see pack_cells)."""
     if isinstance(palette_voxel_index, np.ndarray):

@@ -179,7 +179,10 @@ def _apply_transmittance_jax(alpha, thickness):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("options", "include_sky", "max_steps", "phases")
+    jax.jit,
+    static_argnames=(
+        "options", "include_sky", "max_steps", "phases", "substeps", "compact"
+    ),
 )
 def trace_rays(
     state: SpaceState,
@@ -189,6 +192,8 @@ def trace_rays(
     include_sky: bool = True,
     max_steps: Optional[int] = None,
     phases: int = 4,
+    substeps: int = 2,
+    compact: bool = False,
 ):
     """Trace rays (world coords, any batch shape (..., 3)). Returns
     (light f32[...,3] premultiplied HDR, transmittance f32[...])."""
@@ -245,7 +250,33 @@ def trace_rays(
 
     sky_rgb = _sky_sample(state, d)
 
-    cells = state.cells  # i32[n_space + V*R³]
+    # Brick-ordered traversal cells: one row gather per loop iteration
+    # fetches a whole 4³ neighborhood; the iteration then takes up to
+    # `substeps` DDA steps inside it (row gathers cost per row, not per
+    # element — PERF.md). Rays whose next cell leaves the fetched brick
+    # stall until the next iteration's fetch (progress ≥ 1 step/iter).
+    from .accel import BRICK, brick_dims
+
+    cells_rows = state.cells  # i32[total_bricks, 64]
+    total_bricks = cells_rows.shape[0]
+    sbd = brick_dims(state.contents.shape)
+    vbd = brick_dims((max_r, max_r, max_r))
+    n_sb = int(np.prod(sbd))
+    n_vb = int(np.prod(vbd))
+    local_iota = jnp.arange(BRICK**3, dtype=jnp.int32)
+
+    def _brick_key(cube, inner, ventry):
+        """Global brick-row index of `cube` in its current grid (unique
+        across the outer space and every voxel entry's grid)."""
+        b = cube >> 2
+        outer = (b[..., 0] * sbd[1] + b[..., 1]) * sbd[2] + b[..., 2]
+        innerk = (
+            n_sb
+            + ventry * n_vb
+            + (b[..., 0] * vbd[1] + b[..., 1]) * vbd[2] + b[..., 2]
+        )
+        return jnp.where(inner, innerk, outer)
+
     tables = state.tables
 
     fog_on = options.fog != "none"
@@ -255,6 +286,19 @@ def trace_rays(
 
     zero3i = jnp.zeros((n_rays, 3), jnp.int32)
     zero3f = jnp.zeros((n_rays, 3), jnp.float32)
+
+    # Per-ray constants, as a pytree so the compaction path can permute
+    # and slice them together with the traversal state.
+    ctx0 = dict(
+        o=o,
+        d=d,
+        inv_d=inv_d,
+        step=step,
+        step_pos=step_pos,
+        t_delta_base=t_delta_base,
+        d_len=d_len,
+        max_abs_d=max_abs_d,
+    )
 
     init = dict(
         cube=cube0,
@@ -276,10 +320,16 @@ def trace_rays(
         hit_t=jnp.zeros(n_rays, jnp.float32),
         hit_next_t=jnp.zeros(n_rays, jnp.float32),
         hit_cube=zero3i,
-        fuel=jnp.int32(max_steps),
     )
 
-    def traversal_body(st):
+    def sub_step(st, ctx, row, bkey):
+        # Local aliases shadow the full-width closures so the same body
+        # works on compacted (sliced) ray sets.
+        o, d, inv_d = ctx["o"], ctx["d"], ctx["inv_d"]
+        step, step_pos = ctx["step"], ctx["step_pos"]
+        t_delta_base, d_len = ctx["t_delta_base"], ctx["d_len"]
+        max_abs_d = ctx["max_abs_d"]
+
         walking = st["walking"]
         inner = st["mode"] == 1
 
@@ -298,23 +348,32 @@ def trace_rays(
         tdelta = t_delta_base / st["res_f"][..., None]
         new_tmax = st["tmax"] + jnp.asarray(onehot, jnp.float32) * tdelta
 
+        # A ray acts this sub-step only if the cell it is entering lies in
+        # the fetched brick row (always true on sub-step 1); otherwise it
+        # stalls, keeping all state, and retries after the next fetch.
+        act = walking & (_brick_key(new_cube, inner, st["ventry"]) == bkey)
+
         grid_hi = jnp.where(inner[..., None], st["res_i"][..., None], size_i)
         inside = ((new_cube >= 0) & (new_cube < grid_hi)).all(-1)
 
-        exit_outer = walking & ~inner & ~inside
-        exit_inner = walking & inner & ~inside
+        exit_outer = act & ~inner & ~inside
+        exit_inner = act & inner & ~inside
 
-        # --- the ONE traversal gather ---
+        # --- extract the entered cell from the fetched brick row --------
+        local = (
+            ((new_cube[..., 0] & 3) << 4)
+            | ((new_cube[..., 1] & 3) << 2)
+            | (new_cube[..., 2] & 3)
+        )
+        cell = (row * (local_iota == local[..., None])).sum(-1)
+        # Unbricked voxel-table index for shading (vox_rows layout).
         oc = jnp.clip(new_cube, 0, grid_hi - 1)
-        flat_outer = (oc[..., 0] * size_i[1] + oc[..., 1]) * size_i[2] + oc[..., 2]
         flat_inner = (
             n_space
             + st["ventry"] * vox_r3
             + (oc[..., 0] * max_r + oc[..., 1]) * max_r
             + oc[..., 2]
         )
-        flat = jnp.where(inner, flat_inner, flat_outer)
-        cell = jnp.take(cells, flat, axis=0)
 
         visible = (cell & VISIBLE_BIT) != 0
         is_voxel = (cell & VOXEL_BIT) != 0
@@ -322,7 +381,7 @@ def trace_rays(
         pal_idx = cell & 0xFFFF
         res_log2 = (cell >> RES_SHIFT) & 7
 
-        stepping = walking & inside
+        stepping = act & inside
         hit_atom = stepping & visible & ~is_voxel & ~inner
         hit_vox = stepping & visible & inner
         enter_block = stepping & visible & is_voxel & ~inner
@@ -367,8 +426,8 @@ def trace_rays(
         jtmax = (jnp.asarray(jboundary, jnp.float32) - base) * inv_d / grid_scale[..., None]
         jtmax = jnp.where(step == 0, _INF, jtmax)
 
-        # --- commit register updates by case --------------------------------
-        w = walking[..., None]
+        # --- commit register updates by case (stalled rays keep state) ------
+        w = act[..., None]
         cube = jnp.where(
             enter_block[..., None],
             icube_pre,
@@ -434,11 +493,55 @@ def trace_rays(
             hit_t=hit_t,
             hit_next_t=hit_next_t,
             hit_cube=hit_cube,
-            fuel=st["fuel"] - 1,
         )
 
-    def traversal_cond(st):
-        return (st["fuel"] > 0) & st["walking"].any()
+    def traversal_body(st, ctx):
+        """One iteration: fetch the brick row each ray is about to enter
+        (the ONE gather), then take up to `substeps` DDA steps inside it."""
+        inner = st["mode"] == 1
+        axis0 = _argmin_axis(st["tmax"])
+        onehot0 = jax.nn.one_hot(axis0, 3, dtype=jnp.int32)
+        probe_cube = st["cube"] + onehot0 * ctx["step"]
+        bkey = _brick_key(probe_cube, inner, st["ventry"])
+        row = jnp.take(cells_rows, jnp.clip(bkey, 0, total_bricks - 1), axis=0)
+        for _ in range(substeps):
+            st = sub_step(st, ctx, row, bkey)
+        return st
+
+    def run_loop(st, ctx, fuel):
+        def body(carry):
+            s, f = carry
+            return traversal_body(s, ctx), f - 1
+
+        def cond(carry):
+            s, f = carry
+            return (f > 0) & s["walking"].any()
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(fuel)))
+        return st
+
+    def run_with_compaction(st, ctx, stage1):
+        """Run `stage1` iterations full-width; if ≤¼ of the rays are then
+        still walking (the usual case — most rays hit or exit early), sort
+        walking-first, finish on a quarter-width buffer, and scatter back.
+        The loop tail is where rays hug surfaces and step cube-by-cube;
+        shrinking the gather rows 4× shrinks its cost 4×."""
+        st = run_loop(st, ctx, stage1)
+        quarter = max(n_rays // 4, 1)
+
+        def small(st):
+            order = jnp.argsort(~st["walking"], stable=True)
+            idx = order[:quarter]
+            take = lambda a: jnp.take(a, idx, axis=0)
+            st_s = jax.tree.map(take, st)
+            ctx_s = jax.tree.map(take, ctx)
+            st_s = run_loop(st_s, ctx_s, max_steps)
+            return jax.tree.map(lambda full, sub: full.at[idx].set(sub), st, st_s)
+
+        def full(st):
+            return run_loop(st, ctx, max_steps)
+
+        return jax.lax.cond(st["walking"].sum() <= quarter, small, full, st)
 
     light_acc = jnp.zeros((n_rays, 3), jnp.float32)
     trans_acc = jnp.ones(n_rays, jnp.float32)
@@ -497,7 +600,12 @@ def trace_rays(
 
     st = init
     for _phase in range(phases):
-        st = jax.lax.while_loop(traversal_cond, traversal_body, st)
+        # Phase 1: most rays finish in the first dozen iterations; later
+        # phases start with few walkers (transparent continuations).
+        if compact:
+            st = run_with_compaction(st, ctx0, stage1=12 if _phase == 0 else 1)
+        else:
+            st = run_loop(st, ctx0, max_steps)
         has_hit = st["hit_kind"] != HIT_NONE
         # Skip the whole shading pass when no ray hit anything this phase
         # (later phases of opaque scenes cost nothing).
@@ -510,12 +618,7 @@ def trace_rays(
         )
         # Resume rays that still transmit (ColorBuf::opaque cutoff).
         resume = has_hit & (trans_acc >= 1.0 / 256.0)
-        st = dict(
-            st,
-            walking=resume,
-            hit_kind=jnp.zeros(n_rays, jnp.int32),
-            fuel=jnp.int32(max_steps),
-        )
+        st = dict(st, walking=resume, hit_kind=jnp.zeros(n_rays, jnp.int32))
 
     if include_sky:
         light_acc = light_acc + sky_rgb * trans_acc[..., None]

@@ -255,7 +255,13 @@ class Space:
             res_log2,
             payload=accel.cell_payload(voxel_index),
         )
-        cells = np.concatenate([space_cells.reshape(-1), vox_cells.reshape(-1)])
+        # Brick-ordered traversal cells: [n_bricks, 64] rows, space bricks
+        # first, then each voxel entry's bricks (see accel.to_bricks).
+        cells = np.concatenate(
+            [accel.to_bricks(space_cells)]
+            + [accel.to_bricks(vox_cells[vi]) for vi in range(v)],
+            axis=0,
+        )
 
         tables = BlockTables(
             resolution=jnp.asarray(resolution),

@@ -78,10 +78,11 @@ class SpaceState:
     contents: jax.Array  # u16[X,Y,Z] palette indices
     light: jax.Array  # u8[X,Y,Z,4] PackedLight texels
     light_dirty: jax.Array  # u8[X,Y,Z] relight priority (0 = clean)
-    #: Packed traversal cells (raytrace/accel.py): the space's cells
-    #: flattened, concatenated with every voxel-block entry's cells, so the
-    #: raytracer's two-level DDA uses a single gather per step.
-    cells: jax.Array  # i32[X*Y*Z + V*R³]
+    #: Packed traversal cells (raytrace/accel.py) in 4³-brick row order:
+    #: space bricks first, then each voxel-block entry's bricks. The
+    #: raytracer fetches ONE brick row per loop iteration and takes
+    #: several DDA steps inside it (row gathers cost per row, not width).
+    cells: jax.Array  # i32[n_space_bricks + V*entry_bricks, 64]
     tables: BlockTables
     sky_faces: jax.Array  # f32[6,3] BlockSky per-face (quantized)
     sky_octants: jax.Array  # f32[8,3]
@@ -146,7 +147,8 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
     listener fan-out to its renderers.
     """
     from ..math.faces import FACE7_NORMALS  # local import to avoid cycle
-    from ..raytrace.accel import build_trace_cells, cell_payload
+    from ..raytrace.accel import build_trace_cells, cell_payload, to_bricks
+    from ..raytrace.accel import brick_dims as _brick_dims
 
     size = state.contents.shape
     contents = state.contents.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
@@ -166,9 +168,10 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
         t.voxel_index >= 0,
         t.res_log2,
         payload=cell_payload(t.voxel_index),
-    ).reshape(-1)
-    n_space = space_cells.shape[0]
-    cells = jnp.concatenate([space_cells, state.cells[n_space:]])
+    )
+    space_bricks = to_bricks(space_cells)
+    n_sb = int(np.prod(_brick_dims(size)))
+    cells = jnp.concatenate([space_bricks, state.cells[n_sb:]], axis=0)
 
     import dataclasses
 
