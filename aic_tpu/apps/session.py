@@ -178,9 +178,98 @@ class Session:
             )
         return steps
 
+    def _adapt_exposure(self, light):
+        """Auto-exposure smoothing (character/exposure.rs:67): move the
+        camera exposure toward the scene-derived target."""
+        from ..raytrace.render import auto_exposure_target
+
+        target = auto_exposure_target(light)
+        target = float(np.clip(target, 0.05, 20.0))
+        self.camera.exposure += (target - self.camera.exposure) * 0.2
+
     def render(self):
-        from ..raytrace.render import render
+        import jax.numpy as jnp
+
+        from ..math.color import linear_to_srgb8
+        from ..raytrace.render import Rendering, apply_bloom, render_hdr
 
         ch = self.character
         state = self.universe.get_state(ch.space_name)
-        return render(state, self.eye_camera())
+        cam = self.eye_camera()
+        light, trans = render_hdr(state, cam)
+        if self.options.exposure_auto:
+            self._adapt_exposure(light)
+        if self.options.bloom_intensity > 0.0:
+            light = apply_bloom(light, self.options.bloom_intensity)
+        rgb = cam.post_process(light)
+        srgb = linear_to_srgb8(rgb)
+        alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
+        img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
+        return Rendering(cam.viewport.width, cam.viewport.height, img)
+
+    # ---- UI layer (reference: ui/src/vui, Layers<Camera> world+ui) -------
+
+    def enable_ui(self, inventory=None):
+        """Attach the voxel-UI HUD layer (vui_manager.rs HudLayout)."""
+        from ..universe.cursor import free_editing_inventory
+        from ..vui import build_hud, pause_page, ui_camera
+
+        self.inventory = inventory if inventory is not None else free_editing_inventory()
+        self.ui_space, self.ui_widgets = build_hud(self.inventory)
+        self.ui_state = self.ui_space.snapshot()
+        self.ui_camera = ui_camera(self.ui_space, self.camera.viewport)
+        self._pause_space = pause_page()
+        self._pause_state = self._pause_space.snapshot()
+        self._pause_camera = ui_camera(self._pause_space, self.camera.viewport)
+
+    def refresh_ui(self):
+        """Redraw dynamic widgets (toolbar selection, tooltip) and refresh
+        the UI layer's device state — the analog of the reference's
+        widget-controller transactions on inventory change."""
+        w = self.ui_widgets
+        tx = w["tx"]
+        w["toolbar"].draw(self.ui_space, (tx, 0, 0))
+        w["tooltip"].draw(self.ui_space, (tx, 1, 0))
+        self.ui_state = self.ui_space.snapshot()
+
+    def select_slot(self, slot: int):
+        """Toolbar slot selection (session.rs number-key handling)."""
+        if getattr(self, "inventory", None) is None:
+            return
+        self.inventory.selected = slot
+        self.refresh_ui()
+
+    def render_with_ui(self):
+        """Render world + UI layers and composite front-to-back
+        (renderer.rs:424 Layers compositing; paused shows the pause page)."""
+        import jax.numpy as jnp
+
+        from ..math.color import linear_to_srgb8
+        from ..raytrace.render import Rendering, render_hdr
+        from ..vui.hud import composite_over
+
+        ch = self.character
+        state = self.universe.get_state(ch.space_name)
+        cam = self.eye_camera()
+        world_light, world_trans = render_hdr(state, cam)
+        if getattr(self, "ui_state", None) is not None:
+            if self.paused:
+                ui_light, ui_trans = render_hdr(
+                    self._pause_state, self._pause_camera, include_sky=False
+                )
+            else:
+                ui_light, ui_trans = render_hdr(
+                    self.ui_state, self.ui_camera, include_sky=False
+                )
+            world_light, world_trans = composite_over(
+                ui_light, ui_trans, world_light, world_trans
+            )
+        rgb = cam.post_process(world_light)
+        srgb = linear_to_srgb8(rgb)
+        alpha = jnp.clip(jnp.round((1.0 - world_trans) * 255.0), 0, 255).astype(
+            jnp.uint8
+        )
+        img = np.concatenate(
+            [np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1
+        )
+        return Rendering(cam.viewport.width, cam.viewport.height, img)

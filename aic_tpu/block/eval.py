@@ -323,20 +323,21 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     return out
 
 
-# Minimal 5x7 font for TextPrimitive; glyphs for chars content uses.
-_FONT_5X7 = {
-    " ": [],
-}
-
-
 def _evaluate_text(primitive: model.TextPrimitive, budget: _Budget) -> Evoxels:
+    """Voxelize this block's tile of the laid-out string (block/text.rs
+    Primitive::Text → text/layout.rs). Glyph pixels become a `depth`-thick
+    slab of colored voxels at the block's front (z = 0) face."""
+    from ..text.font import text_tile
+
     r = primitive.resolution
     budget.spend_voxels(r * r * r)
     out = Evoxels.air(resolution=r)
-    # Round-1 rendering: one solid layer spelling nothing (placeholder
-    # keeping the API shape); real font rasterization is planned work.
-    out.color[:, : r // 8 + 1, :] = np.asarray(primitive.color, np.float32)
-    out.collision[:, : r // 8 + 1, :] = COLLISION_NONE
+    mask = text_tile(primitive.text, r, primitive.tile)  # bool[x, y]
+    col = np.asarray(primitive.color, np.float32)
+    depth = max(min(primitive.depth, r), 1)
+    for z in range(depth):
+        out.color[:, :, z][mask] = col
+        out.collision[:, :, z][mask] = COLLISION_NONE
     return out
 
 
@@ -368,6 +369,13 @@ def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, dept
         )
     if isinstance(modifier, model.SetAttributes):
         return modifier.attributes, voxels
+    if isinstance(modifier, model.Tag):
+        import dataclasses as _dc
+
+        return (
+            _dc.replace(attributes, tags=attributes.tags + (modifier.name,)),
+            voxels,
+        )
     if isinstance(modifier, model.Zoom):
         return attributes, _zoom(voxels, modifier)
     if isinstance(modifier, model.Move):

@@ -48,6 +48,8 @@ class BlockAttributes:
     # feeds visible_or_animated, evaluated.rs:252).
     animated: bool = False
     rotation_rule: str = "never"  # "never" | "attach"
+    #: Tags attached via the Tag modifier (tag.rs) — matched by Operations.
+    tags: tuple = ()
 
 
 DEFAULT_ATTRIBUTES = BlockAttributes()
@@ -100,12 +102,17 @@ class Indirect(Primitive):
 
 @dataclass(frozen=True)
 class TextPrimitive(Primitive):
-    """Voxel text (block/text.rs). Rasterized by eval via a tiny built-in
-    5x7 bitmap font rather than the reference's font stack."""
+    """Voxel text (block/text.rs). The string is rasterized host-side
+    (text/font.py, PIL bitmap font — documented deviation from the
+    reference's embedded font stack) and laid out across block tiles:
+    `tile` selects which resolution² window of the laid-out string this
+    block shows (text/layout.rs multi-block layout)."""
 
     text: str
     resolution: int = 16
     color: tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    tile: tuple[int, int] = (0, 0)
+    depth: int = 1  # voxel thickness of the glyph slab
 
 
 class Modifier:
@@ -161,6 +168,14 @@ class Quote(Modifier):
     carry blocks inertly. Evaluation strips tick/activation actions."""
 
     suppress_ambient: bool = False
+
+
+@dataclass(frozen=True)
+class Tag(Modifier):
+    """Attach a tag for Operation/tool matching (tag.rs + block Tag
+    modifier). Purely semantic: no effect on voxels."""
+
+    name: str
 
 
 @dataclass(frozen=True)

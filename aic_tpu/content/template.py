@@ -174,12 +174,25 @@ def build_template_space(name: str, params: TemplateParameters = TemplateParamet
         return demo_city(params.seed, params.size or 96)
     if name == "atrium":
         return atrium(params.seed)
+    if name == "menu":
+        # UniverseTemplate::Menu (template.rs:82): a voxel-UI page listing
+        # the world templates as buttons (vui/page.rs).
+        from ..vui import main_menu_page
+
+        worlds = [t for t in TEMPLATE_NAMES if t not in ("menu", "fail")]
+        sp = main_menu_page(worlds)
+        sp.spawn_position = np.array(
+            [sp.bounds.size[0] / 2.0, sp.bounds.size[1] / 2.0, sp.bounds.upper[2] + 12.0]
+        )
+        sp.fast_evaluate_light()
+        return sp
     if name == "fail":
         raise RuntimeError("UniverseTemplate::Fail (intentional failure for testing)")
     raise KeyError(f"unknown template {name!r}")
 
 
 TEMPLATE_NAMES = [
+    "menu",
     "blank",
     "random",
     "dungeon",

@@ -41,6 +41,9 @@ class GraphicsOptions:
     tone_mapping: str = TONE_CLAMP
     maximum_intensity: float = float("inf")
     exposure: float = 1.0
+    #: ExposureOption::Automatic (graphics_options.rs): the session adapts
+    #: the camera's exposure to scene luminance each frame.
+    exposure_auto: bool = False
     view_distance: float = 200.0
     lighting_display: str = LIGHT_LINEAR
     transparency: str = TRANSPARENCY_VOLUMETRIC

@@ -45,9 +45,38 @@ def render_hdr(state: SpaceState, camera: Camera, include_sky: bool = True):
     return light, trans
 
 
+def apply_bloom(light, intensity: float):
+    """Bloom (gpu/src/bloom.rs mip-chain blur, postprocess.wgsl mix):
+    separable blur of the HDR frame mixed in by `intensity`. Three 5-tap
+    box passes ≈ a wide gaussian — all fused VPU work on device."""
+    if intensity <= 0.0:
+        return light
+    blur = light
+    for _ in range(3):
+        for axis in (0, 1):
+            acc = blur * 2.0
+            for shift in (1, 2):
+                acc = acc + jnp.roll(blur, shift, axis) + jnp.roll(blur, -shift, axis)
+            blur = acc / 6.0
+    return light * (1.0 - intensity) + blur * intensity
+
+
+def auto_exposure_target(light) -> float:
+    """Scene-adaptive exposure (character/exposure.rs:67): target such
+    that the mean log luminance maps to middle grey. Returns a host float
+    for the camera's smoothed exposure state."""
+    lum = (
+        light[..., 0] * 0.2126 + light[..., 1] * 0.7152 + light[..., 2] * 0.0722
+    )
+    mean_log = jnp.mean(jnp.log2(jnp.maximum(lum, 1e-6)))
+    return float(0.5 / jnp.exp2(mean_log))
+
+
 def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rendering:
     """Render to an sRGB image (host)."""
     light, trans = render_hdr(state, camera, include_sky)
+    if camera.options.bloom_intensity > 0.0:
+        light = apply_bloom(light, camera.options.bloom_intensity)
     rgb = camera.post_process(light)
     srgb = linear_to_srgb8(rgb)
     alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)

@@ -36,16 +36,33 @@ class CubeEdit:
     new: Optional[object] = None  # Block or None = no change
 
 
+@dataclass(frozen=True)
+class Fluff:
+    """Momentary sound/particle effect broadcast (fluff.rs:35)."""
+
+    name: str
+    position: tuple = (0, 0, 0)
+
+
 @dataclass
 class SpaceTransaction:
-    """Per-cube CAS edits on one Space (space_txn.rs:34)."""
+    """Per-cube CAS edits on one Space (space_txn.rs:34), plus fluff
+    emission (CubeTransaction::fluff)."""
 
     cubes: dict = field(default_factory=dict)  # (x,y,z) -> CubeEdit
+    fluff: list = field(default_factory=list)  # [Fluff]
 
     @staticmethod
     def set_cube(cube, old=None, new=None) -> "SpaceTransaction":
         t = SpaceTransaction()
         t.cubes[tuple(int(c) for c in cube)] = CubeEdit(old=old, new=new)
+        return t
+
+    @staticmethod
+    def emitting_fluff(cube, name: str) -> "SpaceTransaction":
+        """A transaction that only broadcasts fluff (space_txn fluff)."""
+        t = SpaceTransaction()
+        t.fluff.append(Fluff(name=name, position=tuple(int(c) for c in cube)))
         return t
 
     @staticmethod
@@ -57,7 +74,7 @@ class SpaceTransaction:
 
     def merge(self, other: "SpaceTransaction") -> "SpaceTransaction":
         """Merge (transaction.rs:167): conflicting cube writes fail."""
-        out = SpaceTransaction(cubes=dict(self.cubes))
+        out = SpaceTransaction(cubes=dict(self.cubes), fluff=self.fluff + other.fluff)
         for cube, edit in other.cubes.items():
             if cube in out.cubes:
                 mine = out.cubes[cube]

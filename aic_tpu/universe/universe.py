@@ -112,6 +112,11 @@ class Universe:
         self.light_rounds_per_tick = 2
         self.light_batch_size = 256
         self._tick_action_index: dict[str, list] = {}
+        #: Momentary effects emitted this tick (fluff.rs); drained by the
+        #: session/frontend (sound playback, particles).
+        self.fluff_buffer: list = []
+        #: Tag definitions (tag.rs TagDef universe members).
+        self.tags: dict[str, object] = {}
 
     # -- membership (universe.rs:419 insert) --------------------------------
 
@@ -271,4 +276,28 @@ class Universe:
             self.resnapshot(name)
         else:
             self.states[name] = new_state
+        self.fluff_buffer.extend(txn.fluff)
         return len(txn.cubes)
+
+    def drain_fluff(self) -> list:
+        """Take this tick's momentary effects (fluff.rs broadcast)."""
+        out = self.fluff_buffer
+        self.fluff_buffer = []
+        return out
+
+    # -- garbage collection (universe/gc.rs:55) -----------------------------
+
+    def gc(self) -> int:
+        """Remove anonymous members no longer referenced. Anonymous spaces
+        (names starting with "_anon") are collected when no character lives
+        in them and no behavior is attached to them."""
+        live = {ch.space_name for ch in self.characters.values()}
+        live |= {host for host, _, _ in self.behaviors}
+        dead = [
+            n for n in self.spaces if n.startswith("_anon") and n not in live
+        ]
+        for n in dead:
+            del self.spaces[n]
+            self.states.pop(n, None)
+            self._tick_action_index.pop(n, None)
+        return len(dead)

@@ -1,0 +1,143 @@
+"""Aux subsystem tests: fluff, tags, GC, drawing, settings, ortho, bloom,
+auto-exposure (SURVEY §2.2/§2.5/§2.6/§5 coverage)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.math import GridAab
+from aic_tpu.math import faces
+from aic_tpu.space import Space
+from aic_tpu.space.drawing import VoxelBrush, draw_rect, draw_text_line
+from aic_tpu.universe import Universe
+from aic_tpu.universe.transaction import Fluff, SpaceTransaction
+
+
+class TestFluff:
+    def test_fluff_reaches_universe_buffer(self):
+        u = Universe()
+        sp = Space(GridAab.cube(4))
+        u.insert_space("w", sp)
+        txn = SpaceTransaction.emitting_fluff((1, 1, 1), "Happened")
+        txn = txn.merge(SpaceTransaction.set_cube((1, 1, 1), new=block.from_color((1, 0, 0, 1))))
+        u._commit("w", txn)
+        fluff = u.drain_fluff()
+        assert fluff == [Fluff(name="Happened", position=(1, 1, 1))]
+        assert u.drain_fluff() == []
+
+
+class TestTag:
+    def test_tag_modifier_lands_in_attributes(self):
+        b = block.Block(
+            block.Atom(color=(1, 1, 1, 1)),
+            block.BlockAttributes(display_name="x"),
+            modifiers=(block.Tag("lamp"), block.Tag("fixture")),
+        )
+        ev = block.evaluate(b)
+        assert ev.attributes.tags == ("lamp", "fixture")
+
+    def test_tag_keeps_voxels(self):
+        plain = block.from_color((0.2, 0.4, 0.6, 1.0))
+        tagged = block.Block(plain.primitive, plain.attributes, (block.Tag("t"),))
+        np.testing.assert_array_equal(
+            np.asarray(block.evaluate(plain).voxels.color),
+            np.asarray(block.evaluate(tagged).voxels.color),
+        )
+
+
+class TestGc:
+    def test_gc_collects_unreferenced_anon_spaces(self):
+        u = Universe()
+        u.insert_space("world", Space(GridAab.cube(4)))
+        u.insert_space("_anon_1", Space(GridAab.cube(4)))
+        u.insert_space("_anon_2", Space(GridAab.cube(4)))
+        u.insert_character("p", "_anon_2", (2, 2, 2))  # pins _anon_2
+        removed = u.gc()
+        assert removed == 1
+        assert "_anon_1" not in u.spaces and "_anon_2" in u.spaces
+        assert "world" in u.spaces
+
+
+class TestDrawing:
+    def test_brush_paints_with_offsets_and_clips(self):
+        sp = Space(GridAab.cube(6))
+        brush = VoxelBrush.column(block.from_color((1, 1, 1, 1)), 3)
+        n = brush.paint(sp, (2, 4, 2))  # top of the column clips at bound 6
+        assert n == 2
+        c = np.asarray(sp.contents)
+        assert c[2, 4, 2] != 0 and c[2, 5, 2] != 0
+
+    def test_draw_rect_outline(self):
+        sp = Space(GridAab.cube(8))
+        draw_rect(sp, VoxelBrush.single(block.from_color((1, 0, 0, 1))), (1, 1), (5, 4), plane_z=2)
+        c = np.asarray(sp.contents)
+        assert c[1, 1, 2] != 0 and c[5, 4, 2] != 0 and c[3, 2, 2] == 0
+
+    def test_draw_text_line(self):
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (10, 2, 2)))
+        n = draw_text_line(sp, "Hi", (0, 0, 0))
+        assert n >= 1
+        assert np.asarray(sp.contents).any()
+
+
+class TestSettings:
+    def test_roundtrip_and_inheritance(self, tmp_path):
+        from aic_tpu.apps.settings import Settings
+        from aic_tpu.raytrace import GraphicsOptions
+
+        parent = Settings(GraphicsOptions(fov_y=70.0))
+        path = os.path.join(tmp_path, "settings.json")
+        s = Settings(parent=parent, path=path)
+        s.set(exposure=2.0)
+        loaded = Settings.load(path, parent=parent)
+        opts = loaded.graphics_options()
+        assert opts.exposure == 2.0
+        assert opts.fov_y == 70.0  # inherited
+
+    def test_unknown_keys_ignored_and_repair(self, tmp_path):
+        from aic_tpu.apps.settings import Settings
+
+        path = os.path.join(tmp_path, "s.json")
+        with open(path, "w") as f:
+            f.write('{"version":1,"graphics_options":{"fov_y":720.0,"bogus":3}}')
+        opts = Settings.load(path).graphics_options()
+        assert opts.fov_y == 189.0  # repaired into range
+        assert not hasattr(opts, "bogus")
+
+
+class TestOrtho:
+    def test_orthographic_views(self):
+        from aic_tpu.raytrace.ortho import render_orthographic_views
+
+        sp = Space(GridAab.cube(8))
+        sp.fill(GridAab.from_lower_size((0, 0, 0), (8, 1, 8)), block.from_color((0.8, 0.2, 0.2, 1.0)))
+        sp.fast_evaluate_light()
+        st = sp.snapshot()
+        views = render_orthographic_views(st, (faces.PY,), scale=2)
+        img = views[faces.PY].data
+        assert img.shape == (16, 16, 4)
+        # Looking down at a red floor: red-dominant everywhere.
+        assert (img[..., 0].astype(int) > img[..., 2].astype(int)).mean() > 0.9
+
+
+class TestPostprocess:
+    def test_bloom_spreads_light(self):
+        import jax.numpy as jnp
+
+        from aic_tpu.raytrace.render import apply_bloom
+
+        img = jnp.zeros((16, 16, 3)).at[8, 8].set(10.0)
+        out = np.asarray(apply_bloom(img, 0.5))
+        assert out[8, 8, 0] < 10.0  # energy spread out
+        assert out[8, 10, 0] > 0.0  # neighbors lit
+
+    def test_auto_exposure_targets_middle_grey(self):
+        import jax.numpy as jnp
+
+        from aic_tpu.raytrace.render import auto_exposure_target
+
+        dim = jnp.full((8, 8, 3), 0.01)
+        bright = jnp.full((8, 8, 3), 4.0)
+        assert auto_exposure_target(dim) > auto_exposure_target(bright)

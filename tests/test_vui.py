@@ -1,0 +1,119 @@
+"""VUI framework + voxel text tests (reference: ui/src/vui, block/text.rs)."""
+
+import numpy as np
+
+from aic_tpu import block
+from aic_tpu.block.model import Block, BlockAttributes, TextPrimitive
+from aic_tpu.text.font import measure_text, rasterize_text, text_tile_count
+from aic_tpu.universe.cursor import free_editing_inventory
+from aic_tpu.vui import (
+    Button,
+    Column,
+    Label,
+    Leaf,
+    Row,
+    build_hud,
+    layout_size,
+    main_menu_page,
+    pause_page,
+    realize,
+    ui_camera,
+)
+
+
+class TestFont:
+    def test_rasterize_nonempty(self):
+        m = rasterize_text("Hi")
+        assert m.any() and m.shape[0] >= 5
+
+    def test_wider_text_wider_raster(self):
+        _, w1 = measure_text("i")
+        _, w2 = measure_text("mmmm")
+        assert w2 > w1
+
+    def test_tile_count_grows(self):
+        assert text_tile_count("A", 16) <= text_tile_count("A long label", 16)
+
+
+class TestTextBlock:
+    def test_text_block_has_glyph_voxels(self):
+        b = Block(
+            TextPrimitive(text="A", resolution=16),
+            BlockAttributes(display_name="A"),
+        )
+        ev = block.evaluate(b)
+        solid = np.asarray(ev.voxels.color[..., 3] > 0)
+        assert solid.any(), "glyph voxels present"
+        assert not solid.all(), "glyph does not fill the block"
+        # Glyphs live on the front (z=0) slab only (depth=1 default).
+        assert not solid[:, :, 1:].any()
+
+    def test_empty_text_is_invisible(self):
+        b = Block(TextPrimitive(text="", resolution=16), BlockAttributes())
+        ev = block.evaluate(b)
+        assert not np.asarray(ev.voxels.color[..., 3] > 0).any()
+
+
+class TestLayout:
+    def test_row_and_column_sizes(self):
+        a = Leaf(Label("ab"))
+        b = Leaf(Label("c"))
+        row = Row([a, b], gap=1)
+        w, h = layout_size(row)
+        assert w == layout_size(a)[0] + layout_size(b)[0] + 1
+        assert h == 1
+        col = Column([a, b], gap=2)
+        assert layout_size(col) == (max(layout_size(a)[0], layout_size(b)[0]), 4)
+
+    def test_realize_draws_disjoint(self):
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space.space import Space
+
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (24, 8, 3)))
+        tree = Column([Leaf(Button("Go")), Leaf(Button("Stop"))])
+        realize(tree, sp, (1, 1, 0))
+        assert int((np.asarray(sp.contents) != 0).sum()) > 4
+
+
+class TestHud:
+    def test_build_hud_draws_toolbar_and_crosshair(self):
+        inv = free_editing_inventory()
+        space, widgets = build_hud(inv)
+        st = space.snapshot()
+        contents = np.asarray(st.contents)
+        assert (contents != 0).sum() >= 10  # slots + crosshair + tooltip
+
+    def test_pause_and_menu_pages_build(self):
+        assert np.asarray(pause_page().snapshot().contents).any()
+        page = main_menu_page(["blank", "demo-city"])
+        assert np.asarray(page.snapshot().contents).any()
+
+    def test_ui_camera_frames_plane(self):
+        from aic_tpu.raytrace import Viewport
+
+        inv = free_editing_inventory()
+        space, _ = build_hud(inv)
+        cam = ui_camera(space, Viewport(64, 48))
+        o, d = cam.pixel_rays()
+        assert o.shape == (48, 64, 3)
+
+
+class TestSessionUi:
+    def test_render_with_ui_composites(self):
+        from aic_tpu.apps.session import Session
+        from aic_tpu.content.template import build_universe
+
+        u = build_universe("blank")
+        s = Session(u, viewport=__import__("aic_tpu.raytrace", fromlist=["Viewport"]).Viewport(64, 48))
+        base = s.render().data.copy()
+        s.enable_ui()
+        with_ui = s.render_with_ui().data
+        assert with_ui.shape == base.shape
+        assert (with_ui != base).any(), "UI layer changes the frame"
+
+    def test_menu_template_builds_universe(self):
+        from aic_tpu.content.template import build_universe
+
+        u = build_universe("menu")
+        st = u.get_state("world")
+        assert np.asarray(st.contents).any()
