@@ -357,7 +357,7 @@ def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, dept
         src = src_ev.voxels
         if modifier.reverse:
             src, dst = dst, src
-        return attributes, _composite_over(src, dst)
+        return attributes, _composite(src, dst, modifier.operator)
     if isinstance(modifier, model.Quote):
         return (
             model.BlockAttributes(
@@ -396,25 +396,47 @@ def _upsample(v: Evoxels, r: int) -> Evoxels:
     return Evoxels(r, rep(v.color), rep(v.emission), rep(v.selectable), rep(v.collision))
 
 
-def _composite_over(src: Evoxels, dst: Evoxels) -> Evoxels:
-    """Per-voxel 'source over destination' (composite.rs CompositeOperator::Over)."""
+def _composite(src: Evoxels, dst: Evoxels, op: str = "over") -> Evoxels:
+    """Per-voxel Porter–Duff compositing (composite.rs CompositeOperator:
+    Over / In / Out / Atop), expressed by the standard source/destination
+    factors: out = S·sa·Fa + D·da·Fb, out_a = sa·Fa + da·Fb."""
     src, dst = _unify_resolution(src, dst)
     sa = src.color[..., 3:4]
-    out_a = sa + dst.color[..., 3:4] * (1 - sa)
+    da = dst.color[..., 3:4]
+    if op == "over":
+        fa, fb = np.ones_like(da), 1.0 - sa
+    elif op == "in":
+        fa, fb = da, np.zeros_like(sa)
+    elif op == "out":
+        fa, fb = 1.0 - da, np.zeros_like(sa)
+    elif op == "atop":
+        fa, fb = da, 1.0 - sa
+    else:
+        raise ValueError(f"unknown CompositeOperator {op!r}")
+    out_a = sa * fa + da * fb
     with np.errstate(divide="ignore", invalid="ignore"):
         out_rgb = np.where(
             out_a > 0,
-            (src.color[..., :3] * sa + dst.color[..., :3] * dst.color[..., 3:4] * (1 - sa))
+            (src.color[..., :3] * sa * fa + dst.color[..., :3] * da * fb)
             / np.maximum(out_a, 1e-9),
             0.0,
         )
+    src_present = (sa * fa) > 0
+    dst_present = (da * fb) > 0
     return Evoxels(
         src.resolution,
         np.concatenate([out_rgb, out_a], axis=-1).astype(np.float32),
-        (src.emission + dst.emission * (1 - sa)).astype(np.float32),
-        src.selectable | dst.selectable,
-        np.maximum(src.collision, dst.collision),
+        (src.emission * fa + dst.emission * fb).astype(np.float32),
+        (src.selectable & src_present[..., 0]) | (dst.selectable & dst_present[..., 0]),
+        np.maximum(
+            np.where(src_present[..., 0], src.collision, COLLISION_NONE),
+            np.where(dst_present[..., 0], dst.collision, COLLISION_NONE),
+        ),
     )
+
+
+def _composite_over(src: Evoxels, dst: Evoxels) -> Evoxels:
+    return _composite(src, dst, "over")
 
 
 def _zoom(v: Evoxels, m: model.Zoom) -> Evoxels:

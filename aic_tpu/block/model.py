@@ -130,9 +130,8 @@ class Rotate(Modifier):
 @dataclass(frozen=True)
 class Composite(Modifier):
     """Combine with another block voxel-by-voxel
-    (block/modifier/composite.rs). `operator` is 'over' (src over dst) or
-    'in'/'atop' subset of the reference's ops; 'over' is what content uses.
-    """
+    (block/modifier/composite.rs). `operator` ∈ {'over', 'in', 'out',
+    'atop'} — the reference's CompositeOperator set (Porter–Duff)."""
 
     source: "Block"
     operator: str = "over"

@@ -149,13 +149,26 @@ def mesh_space(space: Space, greedy: bool = True) -> SpaceMesh:
     ev_face_colors = np.stack(
         [space.evaluated(i).face_colors for i in range(space.palette_len())]
     )  # [P,6,4]
+    return _mesh_arrays(
+        space.contents,
+        vis,
+        ev_face_colors,
+        np.asarray(space.bounds.lower, np.float32),
+        greedy,
+    )
 
-    positions = []
-    colors = []
+
+def _mesh_arrays(
+    contents: np.ndarray,
+    vis: np.ndarray,
+    ev_face_colors: np.ndarray,
+    lower: np.ndarray,
+    greedy: bool = True,
+) -> SpaceMesh:
+    """Quad emission over (sub)arrays; `lower` is the world position of
+    contents[0,0,0]. Shared by whole-space meshing and per-chunk meshing
+    (dynamic.py)."""
     quads_by_alpha = {True: [], False: []}  # opaque? -> list of (quad verts, color)
-
-    lower = np.asarray(space.bounds.lower, np.float32)
-    contents = space.contents
     for f in range(6):
         axis = f % 3
         u_ax, v_ax = (axis + 1) % 3, (axis + 2) % 3

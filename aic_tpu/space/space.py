@@ -62,6 +62,10 @@ class Space:
         self.behaviors: list = []
         self.spawn_position: Optional[tuple] = None
         self.epoch = 0  # bumped on palette/table changes
+        #: Edit journal — the `listen`/SpaceChange analog for incremental
+        #: consumers (ChunkedSpaceMesh): relative cubes edited since last
+        #: drain, or the string "all" after bulk edits.
+        self._edit_log: object = set()
         if fill is not None and fill is not AIR:
             self.fill(bounds, fill)
 
@@ -122,7 +126,21 @@ class Space:
             return False
         self.contents[rel] = idx
         self._mark_light_dirty_around(rel)
+        self._log_edit(rel)
         return True
+
+    def _log_edit(self, rel):
+        if isinstance(self._edit_log, set):
+            self._edit_log.add(rel)
+            if len(self._edit_log) > 4096:
+                self._edit_log = "all"
+
+    def drain_edits(self):
+        """Take the set of edited cubes (relative coords) or "all"
+        (SpaceChange listener drain for mesh/renderer consumers)."""
+        out = self._edit_log
+        self._edit_log = set()
+        return out
 
     def fill(self, region: GridAab, block_or_fn) -> None:
         """space.rs:1390 fill/fill_uniform (host path)."""
@@ -138,6 +156,7 @@ class Space:
                 if b is not None:
                     self.contents[self._rel(cube)] = self.ensure_block(b)
         self.light_dirty[sl] = 255
+        self._edit_log = "all"  # bulk edit: everything is dirty
         # Also dirty the one-cube border around the region.
         border = region.expand(1).intersection(self.bounds)
         self.light_dirty[border.to_slices(self.bounds)] = np.maximum(

@@ -127,6 +127,59 @@ class CustomTool(Tool):
         return self.operation.apply(universe.spaces[space_name], cursor.cube)
 
 
+@dataclass(frozen=True)
+class Jetpack(Tool):
+    """Tool::Jetpack: toggles the character's flying state (the reference
+    attaches a jetpack Behavior; ours flips the Body flag directly —
+    applied by `click`, not through a space transaction)."""
+
+    def use(self, universe, space_name, cursor):
+        raise OperationFailed("jetpack is handled by click (body state)")
+
+
+@dataclass(frozen=True)
+class PushPull(Tool):
+    """Tool::PushPull: move the targeted block one cube away from (push)
+    or toward (pull with button 1 → handled by click) the player."""
+
+    pull: bool = False
+
+    def use(self, universe, space_name, cursor):
+        space = universe.spaces[space_name]
+        away = tuple(
+            c - n for c, n in zip(cursor.cube, _face_normal(cursor.face))
+        )
+        toward = cursor.preceding_cube
+        target = toward if self.pull else away
+        if not space.bounds.contains_cube(target):
+            raise OperationFailed("push target outside bounds")
+        if space.block_at(target) is not AIR:
+            raise OperationFailed("push target occupied")
+        t = SpaceTransaction.set_cube(cursor.cube, old=cursor.block, new=AIR)
+        return t.merge(SpaceTransaction.set_cube(target, old=AIR, new=cursor.block))
+
+
+@dataclass(frozen=True)
+class EditBlock(Tool):
+    """Tool::EditBlock: swap the targeted block for a modified version
+    (here: rotate by the modifier provided — a minimal in-world editor)."""
+
+    modifier: object = None  # a block Modifier to append
+
+    def use(self, universe, space_name, cursor):
+        if self.modifier is None:
+            raise OperationFailed("no edit configured")
+        b = cursor.block
+        edited = Block(b.primitive, b.attributes, b.modifiers + (self.modifier,))
+        return SpaceTransaction.set_cube(cursor.cube, old=b, new=edited)
+
+
+def _face_normal(face: int):
+    from ..math import faces as _f
+
+    return _f.FACE_NORMALS[face] if face < 6 else (0, 0, 0)
+
+
 @dataclass
 class Inventory:
     """inv/inventory.rs:31: slots + selection."""
@@ -160,6 +213,16 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
     if tool is None:
         return False
     space_name = character.space_name
+    if isinstance(tool, Jetpack):
+        # Body-state tool: toggle flying (inv/tool.rs Jetpack behavior).
+        import jax.numpy as jnp
+
+        i = character.body_index
+        flying = universe.bodies.flying
+        universe.bodies = __import__("dataclasses").replace(
+            universe.bodies, flying=flying.at[i].set(~flying[i])
+        )
+        return True
     if isinstance(tool, CopyFromSpace):
         inv.slots.append(PlaceBlock(cursor.block))
         inv.selected = len(inv.slots) - 1
@@ -177,4 +240,14 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
         universe.resnapshot(space_name)
     else:
         universe.states[space_name] = new_state
+    # Standard interaction fluff (fluff.rs BlockPlaced/BlockDestroyed).
+    from .transaction import Fluff
+
+    universe.fluff_buffer.extend(txn.fluff)
+    if isinstance(tool, PlaceBlock):
+        universe.fluff_buffer.append(Fluff("Place", cursor.preceding_cube))
+    elif isinstance(tool, RemoveBlock):
+        universe.fluff_buffer.append(Fluff("Destroy", cursor.cube))
+    elif isinstance(tool, Activate) or button == 1:
+        universe.fluff_buffer.append(Fluff("Activate", cursor.cube))
     return True
