@@ -6,6 +6,7 @@ from .dense import (
     evaluate_light_dense,
     relight_all,
     relight_all_pass,
+    relight_all_pass_sharded,
 )
 from .update import evaluate_light, light_update_round, relight_batch
 
@@ -18,5 +19,6 @@ __all__ = [
     "light_update_round",
     "relight_all",
     "relight_all_pass",
+    "relight_all_pass_sharded",
     "relight_batch",
 ]

@@ -207,20 +207,11 @@ def _padded_light(state: SpaceState, pad):
     return lp
 
 
-@jax.jit
-def relight_all_pass(state: SpaceState, ctx: RelightCtx):
-    """One Jacobi pass: new packed light u8[X,Y,Z,4] for every cube.
-
-    Bitwise-identical per-cube results to `relight_batch` over the full
-    cube list (tested); each pass reads only the pre-pass light field.
-    """
-    size = state.contents.shape
+def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
+    """Scan the given (ray, step) pair list; returns (incoming, total_w)
+    accumulated over exactly those rays. Additive across disjoint ray
+    subsets — the sharded pass psums these across devices."""
     pad = ctx.pad
-    ch = _pair_tables(state.light_max_distance, size)
-    cosines = jnp.asarray(ch["cosines"])  # [R,6]
-    sky_ray_table = (cosines @ state.sky_faces) / cosines.sum(-1, keepdims=True)
-
-    light_pad = _padded_light(state, pad)
     normals = jnp.asarray(faces.FACE_NORMALS, jnp.int32)
     pad_v = jnp.asarray(pad, jnp.int32)
     size_v = jnp.asarray(size, jnp.int32)
@@ -229,14 +220,6 @@ def relight_all_pass(state: SpaceState, ctx: RelightCtx):
     gx = jax.lax.broadcasted_iota(jnp.int32, size, 0)
     gy = jax.lax.broadcasted_iota(jnp.int32, size, 1)
     gz = jax.lax.broadcasted_iota(jnp.int32, size, 2)
-
-    xs = dict(
-        off=jnp.asarray(ch["off"]),
-        face=jnp.asarray(ch["face"]),
-        is_end=jnp.asarray(ch["is_end"]),
-        ray_new=jnp.asarray(ch["ray_new"]),
-        ray_id=jnp.asarray(ch["ray_id"]),
-    )
 
     zero_v = jnp.zeros(size, jnp.float32)
 
@@ -334,14 +317,40 @@ def relight_all_pass(state: SpaceState, ctx: RelightCtx):
     init = (
         ctx.alpha0,
         jnp.zeros(size, jnp.bool_),
-        ctx.incoming0,
+        jnp.zeros(size + (3,), jnp.float32),
         zero_v,
         zero_v,
         jnp.zeros(3, jnp.float32),
     )
     (alpha, live, incoming, total_w, _, _), _ = jax.lax.scan(body, init, xs)
+    return incoming, total_w
 
-    # finish (updater.rs:925) — identical to relight_batch's tail.
+
+@jax.jit
+def relight_all_pass(state: SpaceState, ctx: RelightCtx):
+    """One Jacobi pass: new packed light u8[X,Y,Z,4] for every cube.
+
+    Bitwise-identical per-cube results to `relight_batch` over the full
+    cube list (tested); each pass reads only the pre-pass light field.
+    """
+    size = state.contents.shape
+    ch = _pair_tables(state.light_max_distance, size)
+    cosines = jnp.asarray(ch["cosines"])  # [R,6]
+    sky_ray_table = (cosines @ state.sky_faces) / cosines.sum(-1, keepdims=True)
+    light_pad = _padded_light(state, ctx.pad)
+    xs = dict(
+        off=jnp.asarray(ch["off"]),
+        face=jnp.asarray(ch["face"]),
+        is_end=jnp.asarray(ch["is_end"]),
+        ray_new=jnp.asarray(ch["ray_new"]),
+        ray_id=jnp.asarray(ch["ray_id"]),
+    )
+    incoming, total_w = _run_pairs(ctx, size, light_pad, cosines, sky_ray_table, xs)
+    return _finish(ctx, incoming + ctx.incoming0, total_w)
+
+
+def _finish(ctx: RelightCtx, incoming, total_w):
+    """finish (updater.rs:925) — identical to relight_batch's tail."""
     total = total_w
     origin_emissive = (ctx.origin_emission != 0).any(-1)
     opaque_emissive = ctx.origin_opaque & origin_emissive
@@ -366,6 +375,68 @@ def relight_all_pass(state: SpaceState, ctx: RelightCtx):
         (status == lightpack.STATUS_VISIBLE)[..., None], packed_rgb, 0
     )
     return jnp.concatenate([packed_rgb, status[..., None]], axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
+def _pair_tables_sharded(max_distance: int, size: tuple, n_devices: int):
+    """Pair tables split round-robin by ray across devices, padded to a
+    common length with inert rows (ray_new=False, live never set → the
+    scan body is a no-op on them)."""
+    ch = _pair_tables(max_distance, size)
+    ray_id = ch["ray_id"]
+    per_dev = [np.nonzero(ray_id % n_devices == d)[0] for d in range(n_devices)]
+    npad = max(len(ix) for ix in per_dev)
+    out = {}
+    for key in ("off", "face", "is_end", "ray_new", "ray_id"):
+        a = ch[key]
+        shp = (n_devices, npad) + a.shape[1:]
+        buf = np.zeros(shp, a.dtype)
+        for d, ix in enumerate(per_dev):
+            buf[d, : len(ix)] = a[ix]
+        out[key] = buf
+    out["cosines"] = ch["cosines"]
+    return out
+
+
+def relight_all_pass_sharded(state: SpaceState, ctx: RelightCtx, mesh):
+    """Multi-chip whole-volume pass: rays are data-parallel across the
+    device mesh (each chip scans its ray subset against replicated
+    volumes); per-cube incoming/total are additive over rays, so ONE
+    psum over ICI merges the pass (SURVEY §2.9 multi-chip mapping)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    size = state.contents.shape
+    ch = _pair_tables_sharded(state.light_max_distance, size, n_dev)
+    cosines = jnp.asarray(ch["cosines"])
+    sky_ray_table = (cosines @ state.sky_faces) / cosines.sum(-1, keepdims=True)
+    light_pad = _padded_light(state, ctx.pad)
+    xs = {
+        k: jnp.asarray(ch[k])
+        for k in ("off", "face", "is_end", "ray_new", "ray_id")
+    }
+
+    def shard_fn(ctx_s, light_pad_s, cos_s, sky_s, xs_s):
+        xs_local = jax.tree.map(lambda a: a[0], xs_s)  # drop device axis
+        inc, tot = _run_pairs(ctx_s, size, light_pad_s, cos_s, sky_s, xs_local)
+        inc = jax.lax.psum(inc, axis)
+        tot = jax.lax.psum(tot, axis)
+        return inc, tot
+
+    # check_vma off: the scan carry mixes replicated init with shard-
+    # varying xs-derived values inside lax.cond branches; correctness is
+    # carried by the explicit psum.
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    incoming, total_w = fn(ctx, light_pad, cosines, sky_ray_table, xs)
+    return _finish(ctx, incoming + ctx.incoming0, total_w)
 
 
 @jax.jit
