@@ -137,24 +137,101 @@ def _greedy_rects(mask2d: np.ndarray, ids2d: np.ndarray):
             v = v2 + 1
 
 
-def mesh_space(space: Space, greedy: bool = True) -> SpaceMesh:
+def mesh_space(space: Space, greedy: bool = True, style: str | None = None) -> SpaceMesh:
     """Generate the triangle mesh of a Space (SpaceMesh::compute).
 
-    Block colors come from the evaluated per-face colors; recursive blocks
-    are rendered at block granularity here (voxel-detail block meshes are
-    planned work — the raytracer, not the mesher, is the primary TPU
-    renderer; this mesh feeds export and debug viewing).
+    `style`: "unit" (per-face quads), "greedy" (merged rectangles — may
+    create T-junction shading seams), or "no_t_junction" (merged
+    rectangles fan-triangulated with every lattice boundary vertex — the
+    reference planar triangulator's quality contract, implemented by the
+    native C++ component aic_tpu/native/triangulate.cpp). Block colors
+    come from the evaluated per-face colors; recursive blocks are rendered
+    at block granularity (voxel-detail block meshes are planned work).
     """
+    if style is None:
+        style = "greedy" if greedy else "unit"
     vis = visible_faces(space)
     ev_face_colors = np.stack(
         [space.evaluated(i).face_colors for i in range(space.palette_len())]
     )  # [P,6,4]
+    if style == "no_t_junction":
+        return _mesh_arrays_triangulated(
+            space.contents, vis, ev_face_colors,
+            np.asarray(space.bounds.lower, np.float32),
+        )
     return _mesh_arrays(
         space.contents,
         vis,
         ev_face_colors,
         np.asarray(space.bounds.lower, np.float32),
-        greedy,
+        style == "greedy",
+    )
+
+
+def _mesh_arrays_triangulated(contents, vis, ev_face_colors, lower):
+    """No-T-junction emission via the native triangulator (per plane)."""
+    from ..native import triangulate_plane
+
+    all_pos, all_col = [], []
+    idx_by_alpha = {True: [], False: []}
+    v_base = 0
+    for f in range(6):
+        axis = f % 3
+        u_ax, v_ax = (axis + 1) % 3, (axis + 2) % 3
+        vis_f = vis[f].transpose(axis, u_ax, v_ax)
+        ids_f = contents.transpose(axis, u_ax, v_ax)
+        plane_off = 1.0 if f >= 3 else 0.0
+        for w in range(vis_f.shape[0]):
+            plane = vis_f[w]
+            if not plane.any():
+                continue
+            verts2, tris2, tri_ids = triangulate_plane(plane, ids_f[w])
+            if len(tris2) == 0:
+                continue
+            pos = np.zeros((len(verts2), 3), np.float32)
+            pos[:, axis] = w + plane_off
+            pos[:, u_ax] = verts2[:, 0]
+            pos[:, v_ax] = verts2[:, 1]
+            pos += lower
+            # The triangulator's ring is clockwise in (u, v); positive
+            # faces need CCW (outward normals), so flip for f >= 3.
+            if f >= 3:
+                tris2 = tris2[:, ::-1].copy()
+            # Per-vertex color via the triangles that reference each vertex
+            # (vertices are per-rectangle, so this is well defined).
+            vcol = np.zeros((len(verts2), 4), np.float32)
+            cols = ev_face_colors[tri_ids, f]  # [M,4]
+            vcol[tris2.reshape(-1)] = np.repeat(cols, 3, axis=0)
+            all_pos.append(pos)
+            all_col.append(vcol)
+            opaque_sel = cols[:, 3] >= 1.0
+            for opaque in (True, False):
+                sel = opaque_sel == opaque
+                if sel.any():
+                    idx_by_alpha[opaque].append(
+                        (tris2[sel].reshape(-1) + v_base).astype(np.uint32)
+                    )
+            v_base += len(verts2)
+
+    indices, ranges, cursor = [], {}, 0
+    for opaque in (True, False):
+        start = cursor
+        for ix in idx_by_alpha[opaque]:
+            indices.append(ix)
+            cursor += len(ix)
+        ranges[opaque] = (start, cursor)
+    return SpaceMesh(
+        positions=(
+            np.concatenate(all_pos) if all_pos else np.zeros((0, 3), np.float32)
+        ),
+        colors=(
+            np.concatenate(all_col) if all_col else np.zeros((0, 4), np.float32)
+        ),
+        indices=(
+            np.concatenate(indices) if indices else np.zeros((0,), np.uint32)
+        ),
+        opaque_range=ranges[True],
+        transparent_range=ranges[False],
     )
 
 

@@ -1,0 +1,145 @@
+"""Native (C++) host components, bound via ctypes.
+
+The reference's performance-critical host loops are native Rust; ours are
+native C++ where a host hot loop warrants it (device compute stays in
+XLA/Pallas). First component: the no-T-junction plane triangulator
+(triangulate.cpp), the role of all-is-cubes-mesh's `planar` module.
+
+The shared library builds on first use with the baked-in g++ (cached next
+to the source); `triangulate_plane` falls back to a pure-Python
+implementation when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "triangulate.cpp")
+_SO = os.path.join(_DIR, "_triangulate.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.triangulate_plane.restype = ctypes.c_int
+        lib.triangulate_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def triangulate_plane(mask: np.ndarray, ids: np.ndarray):
+    """No-T-junction triangulation of a mesh plane.
+
+    mask: bool[H, W]; ids: u16[H, W]. Returns (verts f32[N,2],
+    tris i32[M,3], tri_ids u16[M]). See triangulate.cpp for the
+    algorithm and the parity contract with the reference's planar
+    triangulator.
+    """
+    mask = np.ascontiguousarray(mask, np.uint8)
+    ids = np.ascontiguousarray(ids, np.uint16)
+    h, w = mask.shape
+    lib = _load()
+    if lib is None:
+        return _triangulate_py(mask, ids)
+    n_cells = int(mask.sum())
+    # Capacity: per rect ≤ 1 center + perimeter verts ≤ 1 + 4·cells.
+    max_v = 8 * n_cells + 8
+    max_t = 8 * n_cells + 8
+    verts = np.empty((max_v, 2), np.float32)
+    tris = np.empty((max_t, 3), np.int32)
+    tri_ids = np.empty(max_t, np.uint16)
+    nv = ctypes.c_int()
+    nt = ctypes.c_int()
+    rc = lib.triangulate_plane(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h,
+        w,
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tri_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        max_v,
+        max_t,
+        ctypes.byref(nv),
+        ctypes.byref(nt),
+    )
+    if rc != 0:
+        return _triangulate_py(mask, ids)
+    return verts[: nv.value].copy(), tris[: nt.value].copy(), tri_ids[: nt.value].copy()
+
+
+def _triangulate_py(mask, ids):
+    """Pure-Python fallback with identical output contract."""
+    h, w = mask.shape
+    used = np.zeros_like(mask, bool)
+    verts, tris, tri_ids = [], [], []
+    for u0 in range(h):
+        for v0 in range(w):
+            if not mask[u0, v0] or used[u0, v0]:
+                continue
+            bid = ids[u0, v0]
+            dv = 1
+            while v0 + dv < w and mask[u0, v0 + dv] and not used[u0, v0 + dv] and ids[u0, v0 + dv] == bid:
+                dv += 1
+            du = 1
+            while u0 + du < h and all(
+                mask[u0 + du, v] and not used[u0 + du, v] and ids[u0 + du, v] == bid
+                for v in range(v0, v0 + dv)
+            ):
+                du += 1
+            used[u0 : u0 + du, v0 : v0 + dv] = True
+            center = len(verts)
+            verts.append((u0 + du / 2.0, v0 + dv / 2.0))
+            ring = []
+            for v in range(v0, v0 + dv):
+                ring.append(len(verts)); verts.append((u0, v))
+            for u in range(u0, u0 + du):
+                ring.append(len(verts)); verts.append((u, v0 + dv))
+            for v in range(v0 + dv, v0, -1):
+                ring.append(len(verts)); verts.append((u0 + du, v))
+            for u in range(u0 + du, u0, -1):
+                ring.append(len(verts)); verts.append((u, v0))
+            n = len(ring)
+            for k in range(n):
+                tris.append((center, ring[k], ring[(k + 1) % n]))
+                tri_ids.append(bid)
+    return (
+        np.asarray(verts, np.float32).reshape(-1, 2),
+        np.asarray(tris, np.int32).reshape(-1, 3),
+        np.asarray(tri_ids, np.uint16),
+    )
