@@ -31,6 +31,13 @@ const keys = new Set();
 onkeydown = e => { keys.add(e.key.toLowerCase()); send(); };
 onkeyup = e => { keys.delete(e.key.toLowerCase()); send(); };
 function send(){ fetch('/input', {method:'POST', body: JSON.stringify({keys:[...keys]})}); }
+document.addEventListener('click', e => {
+  const img = document.getElementById('f');
+  if (e.target !== img) return;
+  const r = img.getBoundingClientRect();
+  const x = (e.clientX - r.left) / r.width, y = (e.clientY - r.top) / r.height;
+  fetch('/click', {method:'POST', body: JSON.stringify({x: x * img.naturalWidth, y: y * img.naturalHeight})});
+});
 async function loop(){
   document.getElementById('f').src = '/frame.png?' + Date.now();
   const r = await fetch('/info'); const j = await r.json();
@@ -92,14 +99,26 @@ class SessionServer:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/input":
-                    self._send(404, "text/plain", b"not found")
-                    return
+                path = self.path.split("?")[0]
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                with outer.lock:
-                    outer.session.input.keys = set(payload.get("keys", []))
-                self._send(200, "application/json", b"{}")
+                if path == "/input":
+                    with outer.lock:
+                        outer.session.input.keys = set(payload.get("keys", []))
+                    self._send(200, "application/json", b"{}")
+                elif path == "/click":
+                    with outer.lock:
+                        result = outer.session.click(
+                            float(payload.get("x", 0)),
+                            float(payload.get("y", 0)),
+                            int(payload.get("button", 0)),
+                        )
+                    self._send(
+                        200, "application/json",
+                        json.dumps({"result": repr(result)}).encode(),
+                    )
+                else:
+                    self._send(404, "text/plain", b"not found")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
 

@@ -85,6 +85,7 @@ class Session:
         self.input = InputState()
         self.clock = FrameClock()
         self.paused = False
+        self.quit_requested = False
         self.options = options or GraphicsOptions()
         self.camera = Camera(self.options, viewport)
         self.info_text: str = ""
@@ -231,6 +232,52 @@ class Session:
         w["toolbar"].draw(self.ui_space, (tx, 0, 0))
         w["tooltip"].draw(self.ui_space, (tx, 1, 0))
         self.ui_state = self.ui_space.snapshot()
+
+    def click(self, x_px: float, y_px: float, button: int = 0):
+        """Dispatch a click at viewport pixel coords: UI layer first (the
+        reference routes clicks through the HUD before the world,
+        vui_manager.rs), then the world cursor + selected tool
+        (character.rs:307 Character::click). Returns the UI action taken,
+        True for a world edit, or None."""
+        from ..universe.cursor import click as world_click
+        from ..universe.cursor import cursor_raycast
+
+        vp = self.camera.viewport
+        ndc = np.array(
+            [2.0 * (x_px + 0.5) / vp.width - 1.0, 1.0 - 2.0 * (y_px + 0.5) / vp.height]
+        )
+        # UI layer pick.
+        if getattr(self, "ui_state", None) is not None:
+            ui_space = self._pause_space if self.paused else self.ui_space
+            ui_cam = self._pause_camera if self.paused else self.ui_camera
+            origin, direction = ui_cam.project_ndc_into_world(ndc)
+            cur = cursor_raycast(ui_space, origin, direction, max_distance=1000.0)
+            if cur is not None:
+                for region, action in getattr(ui_space, "ui_actions", []):
+                    if region.contains_cube(cur.cube):
+                        return self.handle_ui_action(action)
+        if self.paused:
+            return None
+        ch = self.character
+        if ch is None:
+            return None
+        cam = self.eye_camera()
+        origin, direction = cam.project_ndc_into_world(ndc)
+        world = self.universe.spaces[ch.space_name]
+        cur = cursor_raycast(world, origin, direction)
+        return world_click(self.universe, ch, cur, button)
+
+    def handle_ui_action(self, action):
+        """Standard page actions (ui pages): resume/quit/template."""
+        if action == "resume":
+            self.paused = False
+        elif action == "quit":
+            self.quit_requested = True
+        elif isinstance(action, tuple) and action[0] == "template":
+            from ..content.template import build_universe
+
+            self.universe = build_universe(action[1])
+        return action
 
     def select_slot(self, slot: int):
         """Toolbar slot selection (session.rs number-key handling)."""

@@ -106,12 +106,18 @@ class Button:
     def draw(self, space, lower):
         x, y, z = lower
         w, h = self.size()
+        region = GridAab.from_lower_size((x, y, z), (w, h, 2))
         space.fill(
             GridAab.from_lower_size((x, y, z), (w, h, 1)),
             block.from_color(self.color, display_name=f"button[{self.text}]"),
         )
         for i, b in enumerate(text_blocks(self.text)):
             space.set((x + 1 + i, y, z + 1), b)
+        # Register the activation region (vui_manager click dispatch).
+        if self.action is not None:
+            if not hasattr(space, "ui_actions"):
+                space.ui_actions = []
+            space.ui_actions.append((region, self.action))
 
 
 @dataclass

@@ -117,3 +117,58 @@ class TestSessionUi:
         u = build_universe("menu")
         st = u.get_state("world")
         assert np.asarray(st.contents).any()
+
+
+class TestUiClicks:
+    def test_pause_page_buttons_clickable(self):
+        """Clicking Resume on the pause page unpauses; the menu template's
+        buttons swap the universe (vui_manager click dispatch)."""
+        import numpy as np
+
+        from aic_tpu.apps.session import Session
+        from aic_tpu.content.template import build_universe
+        from aic_tpu.raytrace import Viewport
+
+        s = Session(build_universe("blank"), viewport=Viewport(96, 72))
+        s.enable_ui()
+        s.paused = True
+        # Find the Resume button's pixel by scanning the pause page actions:
+        # project each action region's center through the pause camera.
+        space = s._pause_space
+        cam = s._pause_camera
+        actions = {a: r for r, a in getattr(space, "ui_actions", [])}
+        assert "resume" in actions and "quit" in actions
+        r = actions["resume"]
+        center = np.array(
+            [l + sz / 2.0 for l, sz in zip(r.lower, r.size)]
+        )
+        # Project world point to pixel: use the camera matrices inversely
+        # by sampling pixel rays and picking the closest-direction pixel.
+        o, d = cam.pixel_rays()
+        o = np.asarray(o); d = np.asarray(d)
+        to_c = center[None, None, :] - o
+        to_c /= np.linalg.norm(to_c, axis=-1, keepdims=True)
+        dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        align = (to_c * dn).sum(-1)
+        y, x = np.unravel_index(np.argmax(align), align.shape)
+        action = s.click(x, y)
+        assert action == "resume"
+        assert not s.paused
+
+    def test_world_click_fallthrough(self):
+        """With no UI hit, clicks fall through to the world tool path."""
+        from aic_tpu import block
+        from aic_tpu.apps.session import Session
+        from aic_tpu.content.template import build_universe
+        from aic_tpu.raytrace import Viewport
+        from aic_tpu.universe.cursor import Inventory, RemoveBlock
+
+        import numpy as np
+
+        u = build_universe("dungeon")
+        s = Session(u, viewport=Viewport(96, 72))
+        ch = s.character
+        ch.inventory_obj = Inventory(slots=[RemoveBlock()])
+        # Click the center pixel (no UI enabled → straight to world).
+        result = s.click(48, 36)
+        assert result in (True, False)  # dispatched without error
