@@ -70,8 +70,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="aic-tpu")
     p.add_argument("--template", default="cornell-box")
     p.add_argument(
-        "--graphics", default="print", choices=["print", "record", "headless", "terminal"]
+        "--graphics",
+        default="print",
+        choices=["print", "record", "headless", "terminal", "serve"],
     )
+    p.add_argument("--port", type=int, default=8080, help="serve mode port")
     p.add_argument("--size", type=int, default=None, help="template size")
     p.add_argument("--width", type=int, default=120)
     p.add_argument("--height", type=int, default=80)
@@ -115,10 +118,63 @@ def main(argv=None):
     if args.graphics == "print":
         print(ansi_image(r.data))
     elif args.graphics == "record":
-        for i in range(args.frames):
-            out = args.output if args.frames == 1 else args.output.replace(".png", f"_{i:04d}.png")
-            save_png(r, out)
-            print(f"wrote {out}", file=sys.stderr)
+        if args.frames == 1:
+            save_png(r, args.output)
+            print(f"wrote {args.output}", file=sys.stderr)
+        else:
+            # Animated record (record.rs + record/script.rs): fixed-clock
+            # universe stepping with an orbiting camera script, written as
+            # APNG (or GIF if the output says so).
+            from .universe import Universe
+
+            u = Universe()
+            u.insert_space("world", space)
+            u.states["world"] = state
+            c = [l + s_ / 2.0 for l, s_ in zip(space.bounds.lower, space.bounds.size)]
+            radius = max(space.bounds.size) * 0.9
+            frames = []
+            for i in range(args.frames):
+                ang = 2.0 * np.pi * i / args.frames
+                eye = (
+                    c[0] + radius * np.cos(ang),
+                    c[1] + space.bounds.size[1] * 0.4,
+                    c[2] + radius * np.sin(ang),
+                )
+                cam.look_at(eye, c)
+                fr = render(u.states["world"], cam)
+                frames.append(fr.data)
+                u.step()
+            from PIL import Image
+
+            imgs = [Image.fromarray(f, "RGBA") for f in frames]
+            imgs[0].save(
+                args.output,
+                save_all=True,
+                append_images=imgs[1:],
+                duration=1000 // 30,
+                loop=0,
+            )
+            print(f"wrote {args.output} ({args.frames} frames)", file=sys.stderr)
+    elif args.graphics == "serve":
+        from .apps.server import SessionServer
+        from .apps.session import Session
+        from .raytrace import Viewport
+        from .universe import Universe
+
+        u = Universe()
+        u.insert_space("world", space)
+        u.states["world"] = state
+        spawn = (
+            tuple(float(x) for x in space.spawn_position)
+            if space.spawn_position is not None
+            else tuple(l + s_ / 2.0 for l, s_ in zip(space.bounds.lower, space.bounds.size))
+        )
+        u.insert_character("player", "world", spawn)
+        session = Session(u, viewport=Viewport(args.width, args.height), options=options)
+        session.enable_ui()
+        srv = SessionServer(session, port=args.port)
+        print(f"serving on http://127.0.0.1:{srv.port}/", file=sys.stderr)
+        srv.serve_forever()
     elif args.graphics == "terminal":
         print(ansi_image(r.data))
         print("(interactive terminal mode lands with the session UI round)")
