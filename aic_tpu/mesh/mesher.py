@@ -146,7 +146,8 @@ def mesh_space(space: Space, greedy: bool = True, style: str | None = None) -> S
     reference planar triangulator's quality contract, implemented by the
     native C++ component aic_tpu/native/triangulate.cpp). Block colors
     come from the evaluated per-face colors; recursive blocks are rendered
-    at block granularity (voxel-detail block meshes are planned work).
+    at block granularity here — use `mesh_space_voxel_detail` for
+    voxel-granular instances of recursive blocks.
     """
     if style is None:
         style = "greedy" if greedy else "unit"
@@ -295,6 +296,157 @@ def _mesh_arrays(
         positions=np.asarray(all_positions, np.float32).reshape(-1, 3),
         colors=np.asarray(all_colors, np.float32).reshape(-1, 4),
         indices=np.asarray(all_indices, np.uint32),
+        opaque_range=ranges[True],
+        transparent_range=ranges[False],
+    )
+
+
+def block_mesh(ev) -> SpaceMesh:
+    """Voxel-detail mesh of one evaluated block in unit-cube coordinates
+    (block_mesh.rs:48 BlockMesh: analyze → triangulate per face plane).
+
+    Visible voxel faces (voxel alpha > 0, neighbor not opaque) are merged
+    per plane by the native no-T-junction triangulator, keyed by a local
+    palette of distinct voxel colors so merged rectangles are color-
+    uniform. Positions are scaled by 1/R to fill [0,1]³.
+    """
+    from ..native import triangulate_plane
+
+    vox = ev.voxels
+    r = vox.resolution
+    alpha = vox.color[..., 3]
+    vis_vox = alpha > 0.0
+    opaque_vox = alpha >= 1.0
+
+    # Local color palette → ids for merge keying.
+    flat_colors = vox.color.reshape(-1, 4)
+    uniq, inv = np.unique(np.round(flat_colors, 6), axis=0, return_inverse=True)
+    ids3 = inv.reshape(vox.color.shape[:3]).astype(np.uint16)
+
+    all_pos, all_col = [], []
+    idx_by_alpha = {True: [], False: []}
+    v_base = 0
+    inv_r = 1.0 / r
+    for f in range(6):
+        axis = f % 3
+        u_ax, v_ax = (axis + 1) % 3, (axis + 2) % 3
+        n = faces.FACE_NORMALS[f]
+        # Occlusion: neighbor voxel through f opaque → face hidden.
+        shifted = np.zeros_like(opaque_vox)
+        src = [slice(None)] * 3
+        dst = [slice(None)] * 3
+        for ax in range(3):
+            if n[ax] > 0:
+                src[ax] = slice(1, None)
+                dst[ax] = slice(0, -1)
+            elif n[ax] < 0:
+                src[ax] = slice(0, -1)
+                dst[ax] = slice(1, None)
+        shifted[tuple(dst)] = opaque_vox[tuple(src)]
+        vis_f = (vis_vox & ~shifted).transpose(axis, u_ax, v_ax)
+        ids_f = ids3.transpose(axis, u_ax, v_ax)
+        plane_off = 1.0 if f >= 3 else 0.0
+        for w in range(r):
+            plane = vis_f[w]
+            if not plane.any():
+                continue
+            verts2, tris2, tri_ids = triangulate_plane(plane, ids_f[w])
+            if len(tris2) == 0:
+                continue
+            pos = np.zeros((len(verts2), 3), np.float32)
+            pos[:, axis] = (w + plane_off) * inv_r
+            pos[:, u_ax] = verts2[:, 0] * inv_r
+            pos[:, v_ax] = verts2[:, 1] * inv_r
+            if f >= 3:
+                tris2 = tris2[:, ::-1].copy()
+            cols = uniq[tri_ids].astype(np.float32)
+            vcol = np.zeros((len(verts2), 4), np.float32)
+            vcol[tris2.reshape(-1)] = np.repeat(cols, 3, axis=0)
+            all_pos.append(pos)
+            all_col.append(vcol)
+            opaque_sel = cols[:, 3] >= 1.0
+            for opq in (True, False):
+                sel = opaque_sel == opq
+                if sel.any():
+                    idx_by_alpha[opq].append(
+                        (tris2[sel].reshape(-1) + v_base).astype(np.uint32)
+                    )
+            v_base += len(verts2)
+
+    indices, ranges, cursor = [], {}, 0
+    for opq in (True, False):
+        start = cursor
+        for ix in idx_by_alpha[opq]:
+            indices.append(ix)
+            cursor += len(ix)
+        ranges[opq] = (start, cursor)
+    return SpaceMesh(
+        positions=np.concatenate(all_pos) if all_pos else np.zeros((0, 3), np.float32),
+        colors=np.concatenate(all_col) if all_col else np.zeros((0, 4), np.float32),
+        indices=np.concatenate(indices) if indices else np.zeros((0,), np.uint32),
+        opaque_range=ranges[True],
+        transparent_range=ranges[False],
+    )
+
+
+def mesh_space_voxel_detail(space: Space, style: str = "no_t_junction") -> SpaceMesh:
+    """mesh_space + voxel-detail instances for recursive blocks
+    (dynamic/instance.rs role, inlined for export): atoms mesh at block
+    granularity; every placement of a resolution-R block gets its
+    block_mesh translated into position."""
+    detail_ids = [
+        i for i in range(space.palette_len()) if space.evaluated(i).resolution > 1
+    ]
+    vis = visible_faces(space)
+    # Suppress block-granular faces of voxel blocks; they are instanced.
+    for i in detail_ids:
+        vis &= space.contents[None, ...] != i
+    ev_face_colors = np.stack(
+        [space.evaluated(i).face_colors for i in range(space.palette_len())]
+    )
+    lower = np.asarray(space.bounds.lower, np.float32)
+    if style == "no_t_junction":
+        base = _mesh_arrays_triangulated(space.contents, vis, ev_face_colors, lower)
+    else:
+        base = _mesh_arrays(space.contents, vis, ev_face_colors, lower, style == "greedy")
+
+    pieces = [base]
+    for i in detail_ids:
+        bm = block_mesh(space.evaluated(i))
+        if bm.is_empty():
+            continue
+        for rel in np.argwhere(space.contents == i):
+            world = rel.astype(np.float32) + lower
+            pieces.append(
+                SpaceMesh(
+                    positions=bm.positions + world,
+                    colors=bm.colors,
+                    indices=bm.indices.copy(),
+                    opaque_range=bm.opaque_range,
+                    transparent_range=bm.transparent_range,
+                )
+            )
+    # Concatenate with opaque-first ordering.
+    positions = np.concatenate([p.positions for p in pieces])
+    colors = np.concatenate([p.colors for p in pieces])
+    offs = np.cumsum([0] + [len(p.positions) for p in pieces[:-1]])
+    indices, ranges, cursor = [], {}, 0
+    for opq in (True, False):
+        start = cursor
+        for p, off in zip(pieces, offs):
+            lo, hi = p.opaque_range if opq else p.transparent_range
+            if hi > lo:
+                indices.append(p.indices[lo:hi] + np.uint32(off))
+                cursor += hi - lo
+        ranges[opq] = (start, cursor)
+    return SpaceMesh(
+        positions=positions,
+        colors=colors,
+        indices=(
+            np.concatenate(indices).astype(np.uint32)
+            if indices
+            else np.zeros((0,), np.uint32)
+        ),
         opaque_range=ranges[True],
         transparent_range=ranges[False],
     )

@@ -124,3 +124,51 @@ class TestMeshStyle:
         top = np.all(t[..., 1] == 1.0, axis=1)
         n = np.cross(t[top, 1] - t[top, 0], t[top, 2] - t[top, 0])
         assert (n[:, 1] > 0).all()
+
+
+class TestVoxelDetailMesh:
+    def test_block_mesh_of_recursive_block(self):
+        """block_mesh: voxel-granular geometry in [0,1]^3, merged by the
+        native triangulator with per-color keying."""
+        from aic_tpu.mesh import block_mesh
+
+        inner = Space(GridAab.cube(4))
+        red = block.from_color((0.9, 0.1, 0.1, 1.0))
+        blue = block.from_color((0.1, 0.1, 0.9, 1.0))
+        for x in range(4):
+            for z in range(4):
+                inner.set((x, 0, z), red if x < 2 else blue)
+        vox = block.Block(block.Recur(inner, resolution=4), block.BlockAttributes())
+        ev = block.evaluate(vox)
+        m = block_mesh(ev)
+        assert m.triangle_count > 0
+        assert m.positions.min() >= 0.0 and m.positions.max() <= 1.0
+        # Both colors appear among the vertices.
+        cols = m.colors[m.indices]
+        assert (cols[:, 0] > 0.5).any() and (cols[:, 2] > 0.5).any()
+
+    def test_space_mesh_voxel_detail_finer_than_block_granular(self):
+        from aic_tpu.mesh import mesh_space, mesh_space_voxel_detail
+
+        inner = Space(GridAab.cube(4))
+        solid = block.from_color((0.5, 0.8, 0.3, 1.0))
+        for x in range(4):
+            for y in range(4):
+                for z in range(4):
+                    if (x + y + z) % 2 == 0:
+                        inner.set((x, y, z), solid)
+        vox = block.Block(block.Recur(inner, resolution=4), block.BlockAttributes())
+        sp = Space(GridAab.cube(4))
+        sp.set((1, 1, 1), vox)
+        sp.set((2, 1, 1), block.from_color((1, 1, 1, 1)))
+        coarse = mesh_space(sp, style="unit")
+        fine = mesh_space_voxel_detail(sp)
+        assert fine.triangle_count > coarse.triangle_count
+        # The checker voxels produce geometry strictly inside cube (1,1,1).
+        inside = (
+            (fine.positions[:, 0] > 1.01)
+            & (fine.positions[:, 0] < 1.99)
+            & (fine.positions[:, 1] > 1.01)
+            & (fine.positions[:, 1] < 1.99)
+        )
+        assert inside.any()
