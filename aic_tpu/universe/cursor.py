@@ -181,16 +181,51 @@ def _face_normal(face: int):
 
 
 @dataclass
+class Stack:
+    """inv/inventory.rs Slot::Stack: a tool with a count. Non-infinite
+    stacks deplete on use; count 0 empties the slot."""
+
+    tool: Tool
+    count: int = 1
+
+
+@dataclass
 class Inventory:
-    """inv/inventory.rs:31: slots + selection."""
+    """inv/inventory.rs:31: slots (Tool or Stack) + selection."""
 
     slots: list = field(default_factory=list)
     selected: int = 0
 
     def selected_tool(self) -> Optional[Tool]:
         if 0 <= self.selected < len(self.slots):
-            return self.slots[self.selected]
+            slot = self.slots[self.selected]
+            if isinstance(slot, Stack):
+                return slot.tool if slot.count > 0 else None
+            return slot
         return None
+
+    def consume_selected(self):
+        """Deplete one use from the selected slot if it is a finite stack
+        (inventory.rs stack decrement)."""
+        if 0 <= self.selected < len(self.slots):
+            slot = self.slots[self.selected]
+            if isinstance(slot, Stack):
+                slot.count -= 1
+                if slot.count <= 0:
+                    self.slots[self.selected] = None
+
+    def add(self, tool: Tool, count: int = 1):
+        """Add to an existing matching stack or the first free slot
+        (inventory.rs try_add_item stacking)."""
+        for slot in self.slots:
+            if isinstance(slot, Stack) and slot.tool == tool:
+                slot.count += count
+                return
+        for i, slot in enumerate(self.slots):
+            if slot is None:
+                self.slots[i] = Stack(tool, count)
+                return
+        self.slots.append(Stack(tool, count))
 
 
 def free_editing_inventory() -> Inventory:
@@ -224,7 +259,7 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
         )
         return True
     if isinstance(tool, CopyFromSpace):
-        inv.slots.append(PlaceBlock(cursor.block))
+        inv.add(PlaceBlock(cursor.block, infinite=True))
         inv.selected = len(inv.slots) - 1
         return True
     try:
@@ -246,8 +281,12 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
     universe.fluff_buffer.extend(txn.fluff)
     if isinstance(tool, PlaceBlock):
         universe.fluff_buffer.append(Fluff("Place", cursor.preceding_cube))
+        if not tool.infinite:
+            inv.consume_selected()
     elif isinstance(tool, RemoveBlock):
         universe.fluff_buffer.append(Fluff("Destroy", cursor.cube))
+        if tool.keep:
+            inv.add(PlaceBlock(cursor.block, infinite=False))
     elif isinstance(tool, Activate) or button == 1:
         universe.fluff_buffer.append(Fluff("Activate", cursor.cube))
     return True

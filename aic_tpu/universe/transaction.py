@@ -149,14 +149,45 @@ class SpaceTransaction:
 
 @dataclass
 class UniverseTransaction:
-    """Atomic multi-member mutation (universe/universe_txn.rs:333).
-    Round 1 carries per-space transactions; member insertion/behavior
-    edits arrive with the full Universe layer."""
+    """Atomic multi-member mutation (universe/universe_txn.rs:333):
+    per-space transactions plus member insertions, checked together and
+    committed together (check → commit protocol, transaction.rs:45)."""
 
     spaces: dict = field(default_factory=dict)  # space name -> SpaceTransaction
+    inserts: dict = field(default_factory=dict)  # member name -> Space
+
+    @staticmethod
+    def inserting(name: str, space) -> "UniverseTransaction":
+        """universe_txn insert: add a named Space member on commit."""
+        return UniverseTransaction(inserts={name: space})
 
     def merge(self, other: "UniverseTransaction") -> "UniverseTransaction":
-        out = UniverseTransaction(spaces=dict(self.spaces))
+        out = UniverseTransaction(spaces=dict(self.spaces), inserts=dict(self.inserts))
         for name, txn in other.spaces.items():
             out.spaces[name] = out.spaces[name].merge(txn) if name in out.spaces else txn
+        for name, sp in other.inserts.items():
+            if name in out.inserts and out.inserts[name] is not sp:
+                raise TransactionConflict(f"conflicting member insert {name!r}")
+            out.inserts[name] = sp
         return out
+
+    def check(self, universe) -> None:
+        for name in self.inserts:
+            if name in universe.spaces:
+                raise PreconditionFailed(f"member {name!r} already exists")
+        for name, txn in self.spaces.items():
+            if name not in universe.spaces and name not in self.inserts:
+                raise PreconditionFailed(f"no member {name!r}")
+            if name in universe.spaces:
+                txn.check(universe.spaces[name])
+
+    def execute(self, universe) -> int:
+        """Check everything, then commit everything (all-or-nothing at
+        the check stage, like the reference's two-phase protocol)."""
+        self.check(universe)
+        edits = 0
+        for name, sp in self.inserts.items():
+            universe.insert_space(name, sp)
+        for name, txn in self.spaces.items():
+            edits += universe._commit(name, txn)
+        return edits

@@ -150,8 +150,10 @@ class Toolbar:
         return self.slots, 1
 
     def icon_block(self, tool) -> Optional[Block]:
-        from ..universe.cursor import Activate, CopyFromSpace, PlaceBlock, RemoveBlock
+        from ..universe.cursor import Activate, CopyFromSpace, PlaceBlock, RemoveBlock, Stack
 
+        if isinstance(tool, Stack):
+            tool = tool.tool if tool.count > 0 else None
         if tool is None:
             return None
         if isinstance(tool, PlaceBlock):

@@ -141,3 +141,77 @@ class TestPostprocess:
         dim = jnp.full((8, 8, 3), 0.01)
         bright = jnp.full((8, 8, 3), 4.0)
         assert auto_exposure_target(dim) > auto_exposure_target(bright)
+
+
+class TestInventoryStacks:
+    def test_remove_picks_up_and_place_depletes(self):
+        """RemoveBlock(keep) adds a finite stack; placing depletes it
+        (inventory.rs Slot::Stack semantics)."""
+        from aic_tpu.content.template import build_universe
+        from aic_tpu.universe.cursor import (
+            Inventory,
+            PlaceBlock,
+            RemoveBlock,
+            Stack,
+            click,
+            cursor_raycast,
+        )
+
+        u = build_universe("blank")
+        sp = u.spaces["world"]
+        c = tuple(l + s // 2 for l, s in zip(sp.bounds.lower, sp.bounds.size))
+        red = block.from_color((1, 0, 0, 1), display_name="red")
+        sp.set(c, red)
+        # Anchor block behind it so the placement click has a target.
+        sp.set((c[0] + 1, c[1], c[2]), block.from_color((0.4, 0.4, 0.4, 1)))
+        u.resnapshot("world")
+        ch = u.characters["player"]
+        inv = Inventory(slots=[RemoveBlock(keep=True)])
+        ch.inventory_obj = inv
+        origin = (c[0] - 3.0, c[1] + 0.5, c[2] + 0.5)
+        cur = cursor_raycast(sp, origin, (1.0, 0.0, 0.0))
+        assert click(u, ch, cur)  # pick up
+        stacks = [s for s in inv.slots if isinstance(s, Stack)]
+        assert len(stacks) == 1 and stacks[0].count == 1
+        assert isinstance(stacks[0].tool, PlaceBlock) and not stacks[0].tool.infinite
+        # Select the stack and place it back; the stack empties.
+        inv.selected = inv.slots.index(stacks[0])
+        cur2 = cursor_raycast(sp, origin, (1.0, 0.0, 0.0))
+        assert cur2 is not None
+        assert click(u, ch, cur2)
+        assert inv.slots[inv.selected] is None
+
+    def test_stacking_merges_same_tool(self):
+        from aic_tpu.universe.cursor import Inventory, PlaceBlock, Stack
+
+        inv = Inventory(slots=[])
+        red = block.from_color((1, 0, 0, 1))
+        inv.add(PlaceBlock(red, infinite=False))
+        inv.add(PlaceBlock(red, infinite=False))
+        assert len(inv.slots) == 1 and inv.slots[0].count == 2
+
+
+class TestUniverseTransaction:
+    def test_insert_and_edit_atomically(self):
+        from aic_tpu.universe import Universe
+        from aic_tpu.universe.transaction import (
+            PreconditionFailed,
+            SpaceTransaction,
+            UniverseTransaction,
+        )
+
+        u = Universe()
+        sp = Space(GridAab.cube(4))
+        txn = UniverseTransaction.inserting("annex", sp).merge(
+            UniverseTransaction(
+                spaces={"annex": SpaceTransaction.set_cube((1, 1, 1), new=block.from_color((1, 1, 1, 1)))}
+            )
+        )
+        edits = txn.execute(u)
+        assert "annex" in u.spaces and edits == 1
+        assert u.spaces["annex"].block_at((1, 1, 1)) != block.AIR
+        # Re-inserting the same name fails the check (nothing applied).
+        import pytest as _pytest
+
+        with _pytest.raises(PreconditionFailed):
+            UniverseTransaction.inserting("annex", Space(GridAab.cube(2))).execute(u)
