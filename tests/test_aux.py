@@ -215,3 +215,26 @@ class TestUniverseTransaction:
 
         with _pytest.raises(PreconditionFailed):
             UniverseTransaction.inserting("annex", Space(GridAab.cube(2))).execute(u)
+
+
+class TestDebugDumps:
+    def test_dump_state_writes_sheets(self, tmp_path):
+        """Rerun-glue analog: light/skip slice sheets + ortho views +
+        state JSON land on disk and reflect the scene."""
+        import json as _json
+        import os
+
+        from aic_tpu.debug import dump_state
+        from aic_tpu.light import evaluate_light
+
+        sp = Space(GridAab.cube(8))
+        sp.fill(GridAab.from_lower_size((0, 0, 0), (8, 1, 8)), block.from_color((0.7, 0.7, 0.7, 1.0)))
+        sp.fast_evaluate_light()
+        st, _ = evaluate_light(sp.snapshot())
+        paths = dump_state(st, str(tmp_path))
+        for key in ("light_slices", "skip_slices", "ortho_views", "state"):
+            assert os.path.getsize(paths[key]) > 0
+        info = _json.load(open(paths["state"]))
+        assert info["size"] == [8, 8, 8]
+        assert info["light_status_counts"]["opaque"] > 0
+        assert info["light_dirty"] == 0
