@@ -39,6 +39,16 @@ def block_to_schema(b: blockmod.Block, space_registry: dict) -> dict:
     p = b.primitive
     if isinstance(p, blockmod.AirPrimitive):
         prim = {"type": "air"}
+    elif isinstance(p, blockmod.Indirect):
+        defs = space_registry.setdefault("__defs__", {})
+        name = defs.get(id(p.block_def))
+        if name is None:
+            name = f"__def_{len(defs)}"
+            defs[id(p.block_def)] = name
+            space_registry.setdefault("__pending_defs__", []).append(
+                (name, p.block_def)
+            )
+        prim = {"type": "indirect", "def": name}
     elif isinstance(p, blockmod.Atom):
         prim = {
             "type": "atom",
@@ -101,12 +111,16 @@ def block_to_schema(b: blockmod.Block, space_registry: dict) -> dict:
     }
 
 
-def block_from_schema(d: dict, spaces: dict) -> blockmod.Block:
+def block_from_schema(d: dict, spaces: dict, defs: dict | None = None) -> blockmod.Block:
     p = d["primitive"]
     t = p["type"]
     if t == "air":
         return blockmod.AIR
-    if t == "atom":
+    if t == "indirect":
+        if defs is None or p["def"] not in defs:
+            raise ValueError(f"save references unknown block def {p['def']!r}")
+        prim = blockmod.Indirect(defs[p["def"]])
+    elif t == "atom":
         prim = blockmod.Atom(
             color=tuple(p["color"]), emission=tuple(p["emission"]),
             collision=p.get("collision", 1),
@@ -136,7 +150,7 @@ def block_from_schema(d: dict, spaces: dict) -> blockmod.Block:
             mods.append(blockmod.Move(m["face"], m["distance"], m.get("velocity", 0)))
         elif mt == "composite":
             mods.append(
-                blockmod.Composite(source=block_from_schema(m["source"], spaces),
+                blockmod.Composite(source=block_from_schema(m["source"], spaces, defs),
                                    operator=m.get("operator", "over"),
                                    reverse=m.get("reverse", False))
             )
@@ -173,10 +187,14 @@ def space_to_schema(sp: Space, space_registry: dict) -> dict:
     }
 
 
-def space_from_schema(d: dict, spaces: dict) -> Space:
+def _space_shell(d: dict) -> Space:
+    """Phase 1: construct the Space with bounds/physics only, so cyclic
+    Recur references (a palette block whose voxel space is this very
+    space — legal to build and save) can resolve to the in-progress
+    object instead of recursing forever."""
     bounds = GridAab.from_lower_size(d["bounds"]["lower"], d["bounds"]["size"])
     ph = d["physics"]
-    sp = Space(
+    return Space(
         bounds,
         physics=SpacePhysics(
             gravity=tuple(ph["gravity"]),
@@ -185,21 +203,33 @@ def space_from_schema(d: dict, spaces: dict) -> Space:
             light_max_distance=ph["light_max_distance"],
         ),
     )
-    palette_blocks = [block_from_schema(b, spaces) for b in d["palette"]]
+
+
+def _space_fill(sp: Space, d: dict, spaces: dict, defs: dict | None = None) -> Space:
+    """Phase 2: deserialize palette/contents/light into the shell."""
+    palette_blocks = [block_from_schema(b, spaces, defs) for b in d["palette"]]
     # Intern palette in order so stored indices are preserved.
     for b in palette_blocks:
         sp.ensure_block(b)
-    sp.contents = _unpack_array(d["contents"], "<u2", bounds.size)
-    sp.light = _unpack_array(d["light"], np.uint8, tuple(bounds.size) + (4,))
+    sp.contents = _unpack_array(d["contents"], "<u2", sp.bounds.size)
+    sp.light = _unpack_array(d["light"], np.uint8, tuple(sp.bounds.size) + (4,))
     if d.get("spawn"):
         sp.spawn_position = np.asarray(d["spawn"])
     return sp
+
+
+def space_from_schema(d: dict, spaces: dict, defs: dict | None = None) -> Space:
+    return _space_fill(_space_shell(d), d, spaces, defs)
 
 
 def save_universe(universe, path: str):
     """Serialize a Universe (or a dict of named Spaces) to JSON."""
     spaces = universe.spaces if hasattr(universe, "spaces") else dict(universe)
     registry: dict = {id(sp): name for name, sp in spaces.items()}
+    # Named BlockDefs keep their universe member names; anonymous ones
+    # referenced by Indirect primitives get generated names.
+    named_defs = dict(getattr(universe, "block_defs", {}))
+    registry["__defs__"] = {id(bd): name for name, bd in named_defs.items()}
     doc_spaces = {}
     for name, sp in spaces.items():
         doc_spaces[name] = space_to_schema(sp, registry)
@@ -211,14 +241,50 @@ def save_universe(universe, path: str):
         doc_spaces[name] = space_to_schema(sp, registry)
         pending.extend(registry.pop("__pending__", []))
 
+    # BlockDefs: named members plus any discovered via Indirect (a def's
+    # own block may reference further defs/spaces — drain to fixpoint).
+    doc_defs = {}
+    pending_defs = [(n, bd) for n, bd in named_defs.items()]
+    pending_defs += registry.pop("__pending_defs__", [])
+    while pending_defs:
+        name, bd = pending_defs.pop()
+        if name in doc_defs:
+            continue
+        doc_defs[name] = block_to_schema(bd.block, registry)
+        pending_defs.extend(registry.pop("__pending_defs__", []))
+        pending = registry.pop("__pending__", [])
+        while pending:
+            sname, sp = pending.pop()
+            doc_spaces[sname] = space_to_schema(sp, registry)
+            pending.extend(registry.pop("__pending__", []))
+
+    # Characters: serialize each one's full body row (position/velocity/
+    # collision box/flags) so load_universe can reconstruct it via
+    # insert_character (save/conversion.rs serializes Character incl. Body).
+    characters = {}
+    bodies = getattr(universe, "bodies", None)
+    for name, ch in getattr(universe, "characters", {}).items():
+        entry = {"space": ch.space_name}
+        if bodies is not None:
+            i = ch.body_index
+            entry["body"] = {
+                "position": np.asarray(bodies.position[i]).tolist(),
+                "velocity": np.asarray(bodies.velocity[i]).tolist(),
+                "box_lo": np.asarray(bodies.box_lo[i]).tolist(),
+                "box_hi": np.asarray(bodies.box_hi[i]).tolist(),
+                "flying": bool(np.asarray(bodies.flying[i])),
+                "noclip": bool(np.asarray(bodies.noclip[i])),
+                "yaw": float(np.asarray(bodies.yaw[i])),
+                "pitch": float(np.asarray(bodies.pitch[i])),
+            }
+        characters[name] = entry
+
     doc = {
         "format": FORMAT_NAME,
         "version": FORMAT_VERSION,
         "spaces": doc_spaces,
-        "characters": {
-            name: {"space": ch.space_name, "body_index": ch.body_index}
-            for name, ch in getattr(universe, "characters", {}).items()
-        },
+        "block_defs": doc_defs,
+        "characters": characters,
     }
     with open(path, "w") as f:
         json.dump(doc, f)
@@ -235,26 +301,40 @@ def load_universe(path: str):
     if doc.get("version", 0) > FORMAT_VERSION:
         raise ValueError(f"unsupported version {doc['version']}")
 
-    # Two-pass: construct empty spaces first so Recur references resolve.
+    # Two-phase per space: the shell (bounds/physics) is registered in
+    # `built` BEFORE its palette deserializes, so cyclic Recur references
+    # resolve to the in-progress Space instead of recursing forever.
     u = Universe()
-    shells: dict[str, Space] = {}
-    for name, sd in doc["spaces"].items():
-        shells[name] = None  # placeholder
-    # Topological simplicity: build all spaces with a lazy dict proxy.
     built: dict[str, Space] = {}
 
+    # BlockDef shells first: Indirect cycles (a def whose block refers to
+    # itself) resolve to the shell; blocks are filled in below.
+    defs = {
+        name: blockmod.BlockDef(blockmod.AIR, name)
+        for name in doc.get("block_defs", {})
+    }
+
     def get_space(name):
-        if built.get(name) is None:
-            built[name] = space_from_schema(doc["spaces"][name], _proxy)
-        return built[name]
+        sp = built.get(name)
+        if sp is None:
+            if name not in doc["spaces"]:
+                raise KeyError(f"save references unknown space {name!r}")
+            d = doc["spaces"][name]
+            sp = _space_shell(d)
+            built[name] = sp
+            _space_fill(sp, d, _proxy, defs)
+        return sp
 
     class _Proxy(dict):
         def __getitem__(self, key):
             return get_space(key)
 
     _proxy = _Proxy()
-    for name in doc["spaces"]:
-        built.setdefault(name, None)
+    # Fill def blocks (may pull spaces through the proxy), then spaces.
+    for name, bd in defs.items():
+        bd.block = block_from_schema(doc["block_defs"][name], _proxy, defs)
+        if not name.startswith("__def_"):
+            u.block_defs[name] = bd
     for name in doc["spaces"]:
         get_space(name)
     for name, sp in built.items():
@@ -262,4 +342,26 @@ def load_universe(path: str):
             u.insert_space(name, sp)
         else:
             u.spaces[name] = sp  # referenced content space, no device state
+
+    # Restore characters with their saved body rows.
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    for name, cd in doc.get("characters", {}).items():
+        b = cd.get("body")
+        if b is None or cd.get("space") not in u.spaces:
+            continue
+        ch = u.insert_character(name, cd["space"], tuple(b["position"]))
+        i = ch.body_index
+        u.bodies = dataclasses.replace(
+            u.bodies,
+            velocity=u.bodies.velocity.at[i].set(jnp.asarray(b["velocity"])),
+            box_lo=u.bodies.box_lo.at[i].set(jnp.asarray(b["box_lo"])),
+            box_hi=u.bodies.box_hi.at[i].set(jnp.asarray(b["box_hi"])),
+            flying=u.bodies.flying.at[i].set(bool(b["flying"])),
+            noclip=u.bodies.noclip.at[i].set(bool(b["noclip"])),
+            yaw=u.bodies.yaw.at[i].set(float(b.get("yaw", 0.0))),
+            pitch=u.bodies.pitch.at[i].set(float(b.get("pitch", 0.0))),
+        )
     return u

@@ -28,6 +28,12 @@ from ..space.state import SpaceState
 def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but platform "
+                f"{jax.default_backend()!r} has only {len(devs)} device(s); "
+                "a silently-smaller mesh would make sharding tests vacuous"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -30,10 +30,17 @@ class PreconditionFailed(Exception):
 @dataclass
 class CubeEdit:
     """CubeTransaction (space_txn.rs:562): optional old-block precondition
-    + optional new block."""
+    + optional new block.
+
+    `conserved` mirrors CubeTransaction::conserved (space_txn.rs default
+    true): a conserved write represents a block *moved into* the cube, so
+    two conserved writes may not merge even if they write the same block —
+    merging would destroy one of the moved blocks. Non-conserved writes
+    (e.g. paint/fill effects) merge when equal."""
 
     old: Optional[object] = None  # Block or None = don't care
     new: Optional[object] = None  # Block or None = no change
+    conserved: bool = True
 
 
 @dataclass(frozen=True)
@@ -53,9 +60,11 @@ class SpaceTransaction:
     fluff: list = field(default_factory=list)  # [Fluff]
 
     @staticmethod
-    def set_cube(cube, old=None, new=None) -> "SpaceTransaction":
+    def set_cube(cube, old=None, new=None, conserved=True) -> "SpaceTransaction":
         t = SpaceTransaction()
-        t.cubes[tuple(int(c) for c in cube)] = CubeEdit(old=old, new=new)
+        t.cubes[tuple(int(c) for c in cube)] = CubeEdit(
+            old=old, new=new, conserved=conserved
+        )
         return t
 
     @staticmethod
@@ -73,20 +82,36 @@ class SpaceTransaction:
         return t
 
     def merge(self, other: "SpaceTransaction") -> "SpaceTransaction":
-        """Merge (transaction.rs:167): conflicting cube writes fail."""
+        """Merge (transaction.rs:167 Merge; space_txn.rs:680 CubeTransaction
+        check_merge): two edits of the same cube conflict when their `old`
+        preconditions differ, or when both write `new` unless both writes
+        are non-conserved and equal (the conserved rule protects block
+        conservation: two moves into one cube must not collapse into one)."""
         out = SpaceTransaction(cubes=dict(self.cubes), fluff=self.fluff + other.fluff)
         for cube, edit in other.cubes.items():
             if cube in out.cubes:
                 mine = out.cubes[cube]
                 if (
-                    edit.new is not None
-                    and mine.new is not None
-                    and edit.new != mine.new
+                    edit.old is not None
+                    and mine.old is not None
+                    and edit.old != mine.old
                 ):
-                    raise TransactionConflict(f"conflicting writes at {cube}")
+                    raise TransactionConflict(
+                        f"conflicting old preconditions at {cube}"
+                    )
+                if edit.new is not None and mine.new is not None:
+                    if (
+                        edit.new != mine.new
+                        or mine.conserved
+                        or edit.conserved
+                    ):
+                        raise TransactionConflict(f"conflicting writes at {cube}")
                 merged = CubeEdit(
                     old=mine.old if mine.old is not None else edit.old,
                     new=mine.new if mine.new is not None else edit.new,
+                    conserved=(
+                        mine.conserved if mine.new is not None else edit.conserved
+                    ),
                 )
                 out.cubes[cube] = merged
             else:

@@ -174,14 +174,19 @@ class Universe:
             return info
 
         # Synchronize: palette re-evaluation for changed BlockDefs
-        # (space/step.rs:76). Round 1: BlockDef.touch() bumps epoch; spaces
-        # referencing stale defs re-evaluate + re-snapshot.
-        for name, sp in self.spaces.items():
-            if any(
-                bd._cache_epoch != bd.epoch
-                for bd in self.block_defs.values()
-                if bd._cache is not None
-            ):
+        # (space/step.rs:76). BlockDef.touch() bumps epoch; spaces
+        # referencing stale defs re-evaluate + re-snapshot. Staleness is
+        # decided ONCE before the loop: the first reevaluate_palette()
+        # refreshes the shared BlockDef caches (eval marks _cache_epoch
+        # fresh), which would otherwise hide the staleness from every
+        # subsequent space.
+        any_stale = any(
+            bd._cache_epoch != bd.epoch
+            for bd in self.block_defs.values()
+            if bd._cache is not None
+        )
+        if any_stale:
+            for name, sp in self.spaces.items():
                 sp.reevaluate_palette()
                 self.resnapshot(name)
 

@@ -247,20 +247,18 @@ class TestDenseRelight:
     def test_sharded_pass_matches_single_device(self):
         """Ray-sharded multi-chip pass (psum over ICI) == single-device
         pass, on the 8-virtual-device CPU mesh."""
-        import jax
-        from jax.sharding import Mesh
-
         from aic_tpu.light import (
             build_relight_ctx,
             relight_all_pass,
             relight_all_pass_sharded,
         )
+        from aic_tpu.parallel import make_mesh
 
         sp = self._grey_box()
         st = sp.snapshot()
         ctx = build_relight_ctx(st)
         single = np.asarray(relight_all_pass(st, ctx))
-        mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+        mesh = make_mesh(8)  # raises if the platform has fewer than 8 devices
         sharded = np.asarray(relight_all_pass_sharded(st, ctx, mesh))
         assert np.array_equal(single[..., 3], sharded[..., 3])
         # f32 summation order differs across shards; allow 1 packed step.

@@ -129,6 +129,80 @@ class TestSaveLoad:
         assert ev.resolution == 4
         np.testing.assert_allclose(ev.color[:3], [0, 1, 0], atol=1e-5)
 
+    def test_character_round_trip(self, tmp_path):
+        """Characters and their body state survive save/load."""
+        import dataclasses
+
+        u = Universe()
+        sp = Space(GridAab.cube(8))
+        sp.fill(
+            GridAab.from_lower_size((0, 0, 0), (8, 1, 8)),
+            block.from_color((0.5, 0.5, 0.5, 1)),
+        )
+        u.insert_space("world", sp)
+        ch = u.insert_character("player", "world", (4.0, 2.5, 4.0))
+        u.bodies = dataclasses.replace(
+            u.bodies,
+            velocity=u.bodies.velocity.at[ch.body_index].set(
+                np.asarray([1.0, 0.0, -2.0], np.float32)
+            ),
+            flying=u.bodies.flying.at[ch.body_index].set(True),
+            yaw=u.bodies.yaw.at[ch.body_index].set(90.0),
+        )
+        path = str(tmp_path / "chars.json")
+        save_universe(u, path)
+
+        u2 = load_universe(path)
+        assert "player" in u2.characters
+        ch2 = u2.characters["player"]
+        assert ch2.space_name == "world"
+        i = ch2.body_index
+        np.testing.assert_allclose(
+            np.asarray(u2.bodies.position[i]), [4.0, 2.5, 4.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(u2.bodies.velocity[i]), [1.0, 0.0, -2.0]
+        )
+        assert bool(np.asarray(u2.bodies.flying[i]))
+        assert float(np.asarray(u2.bodies.yaw[i])) == 90.0
+
+    def test_indirect_blockdef_round_trip(self, tmp_path):
+        """Indirect primitives serialize as named block-def references;
+        named defs land back in universe.block_defs."""
+        bd = block.BlockDef(block.from_color((1, 0, 0, 1)), "reddef")
+        u = Universe()
+        sp = Space(GridAab.cube(4))
+        sp.set((1, 1, 1), block.Block(block.Indirect(bd)))
+        u.insert_space("world", sp)
+        u.block_defs["reddef"] = bd
+        path = str(tmp_path / "defs.json")
+        save_universe(u, path)
+
+        u2 = load_universe(path)
+        assert "reddef" in u2.block_defs
+        b2 = u2.spaces["world"].block_at((1, 1, 1))
+        assert isinstance(b2.primitive, block.Indirect)
+        assert b2.primitive.block_def is u2.block_defs["reddef"]
+        ev = u2.spaces["world"].evaluated_block_at((1, 1, 1))
+        np.testing.assert_allclose(ev.color[:3], [1, 0, 0], atol=1e-5)
+
+    def test_cyclic_recur_space_round_trip(self, tmp_path):
+        """A space whose palette Recur-references itself loads without
+        infinite recursion (two-phase shell construction)."""
+        u = Universe()
+        sp = Space(GridAab.cube(4))
+        sp.set((1, 1, 1), block.from_color((1, 0, 0, 1)))
+        sp.set((2, 2, 2), block.Block(block.Recur(space=sp, resolution=4)))
+        u.insert_space("ouroboros", sp)
+        path = str(tmp_path / "cycle.json")
+        save_universe(u, path)
+
+        u2 = load_universe(path)
+        sp2 = u2.spaces["ouroboros"]
+        np.testing.assert_array_equal(sp2.contents, sp.contents)
+        recur = sp2.block_at((2, 2, 2))
+        assert recur.primitive.space is sp2  # the cycle is reconstructed
+
     def test_load_rejects_bad_format(self, tmp_path):
         path = str(tmp_path / "bad.json")
         open(path, "w").write('{"format": "nope"}')

@@ -103,6 +103,35 @@ class TestTransactions:
         with pytest.raises(TransactionConflict):
             a.merge(b)
 
+    def test_merge_conserved_equal_news_conflict(self):
+        """space_txn.rs CubeTransaction conserved=true (default): two
+        writes of the SAME block to one cube still conflict — merging two
+        moved-in blocks would destroy one."""
+        from aic_tpu.universe import TransactionConflict
+
+        red = block.from_color((1, 0, 0, 1))
+        a = SpaceTransaction.set_cube((1, 1, 1), new=red)
+        b = SpaceTransaction.set_cube((1, 1, 1), new=red)
+        with pytest.raises(TransactionConflict):
+            a.merge(b)
+
+    def test_merge_nonconserved_equal_news_merge(self):
+        red = block.from_color((1, 0, 0, 1))
+        a = SpaceTransaction.set_cube((1, 1, 1), new=red, conserved=False)
+        b = SpaceTransaction.set_cube((1, 1, 1), new=red, conserved=False)
+        merged = a.merge(b)
+        assert merged.cubes[(1, 1, 1)].new == red
+
+    def test_merge_conflicting_old_preconditions(self):
+        from aic_tpu.universe import TransactionConflict
+
+        red = block.from_color((1, 0, 0, 1))
+        green = block.from_color((0, 1, 0, 1))
+        a = SpaceTransaction.set_cube((1, 1, 1), old=red)
+        b = SpaceTransaction.set_cube((1, 1, 1), old=green)
+        with pytest.raises(TransactionConflict):
+            a.merge(b)
+
     def test_device_commit(self):
         sp = floor_space()
         st = sp.snapshot()
@@ -163,6 +192,28 @@ class TestUniverse:
         sp = u.spaces["world"]
         assert sp.block_at((2, 2, 2)) != block.AIR
         assert sp.block_at((2, 3, 2)) != block.AIR
+
+    def test_stale_blockdef_reevaluates_every_space(self):
+        """A redefined BlockDef must refresh ALL spaces, not just the
+        first one stepped (the first reevaluate marks the cache fresh)."""
+        bd = block.BlockDef(block.from_color((1, 0, 0, 1)))
+        indirect = block.Block(block.Indirect(bd))
+        u = Universe()
+        u.light_rounds_per_tick = 0
+        for name in ("a", "b"):
+            sp = Space(GridAab.cube(4))
+            sp.set((1, 1, 1), indirect)
+            u.insert_space(name, sp)
+        u.block_defs["bd"] = bd
+        u.step()
+        bd.redefine(block.from_color((0, 1, 0, 1)))
+        u.step()
+        for name in ("a", "b"):
+            ev = u.spaces[name].evaluated_block_at((1, 1, 1))
+            np.testing.assert_allclose(
+                ev.color[:3], [0, 1, 0], atol=1e-5,
+                err_msg=f"space {name!r} kept a stale palette",
+            )
 
     def test_character_body_falls(self):
         u = Universe()
