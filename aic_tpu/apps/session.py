@@ -99,13 +99,10 @@ class Session:
 
         ch = self.character
         u = self.universe
-        u.bodies = Body(
-            position=u.bodies.position,
-            velocity=u.bodies.velocity,
-            box_lo=u.bodies.box_lo,
-            box_hi=u.bodies.box_hi,
-            flying=u.bodies.flying,
-            noclip=u.bodies.noclip,
+        import dataclasses
+
+        u.bodies = dataclasses.replace(
+            u.bodies,
             yaw=u.bodies.yaw.at[ch.body_index].set(yaw_deg),
             pitch=u.bodies.pitch.at[ch.body_index].set(pitch_deg),
         )
@@ -141,16 +138,9 @@ class Session:
                 vel[i][1] = JUMP_SPEED
         import jax.numpy as jnp
 
-        u.bodies = Body(
-            position=u.bodies.position,
-            velocity=jnp.asarray(vel),
-            box_lo=u.bodies.box_lo,
-            box_hi=u.bodies.box_hi,
-            flying=u.bodies.flying,
-            noclip=u.bodies.noclip,
-            yaw=u.bodies.yaw,
-            pitch=u.bodies.pitch,
-        )
+        import dataclasses
+
+        u.bodies = dataclasses.replace(u.bodies, velocity=jnp.asarray(vel))
 
     def eye_camera(self) -> Camera:
         """Camera at the character's eye (character.rs eye height 1.6-ish)."""

@@ -359,6 +359,10 @@ def load_universe(path: str):
             velocity=u.bodies.velocity.at[i].set(jnp.asarray(b["velocity"])),
             box_lo=u.bodies.box_lo.at[i].set(jnp.asarray(b["box_lo"])),
             box_hi=u.bodies.box_hi.at[i].set(jnp.asarray(b["box_hi"])),
+            # occupying resets to the collision box on load (crush state
+            # is transient recovery state, body.rs).
+            occ_lo=u.bodies.occ_lo.at[i].set(jnp.asarray(b["box_lo"])),
+            occ_hi=u.bodies.occ_hi.at[i].set(jnp.asarray(b["box_hi"])),
             flying=u.bodies.flying.at[i].set(bool(b["flying"])),
             noclip=u.bodies.noclip.at[i].set(bool(b["noclip"])),
             yaw=u.bodies.yaw.at[i].set(float(b.get("yaw", 0.0))),

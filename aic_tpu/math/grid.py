@@ -140,6 +140,21 @@ IDENTITY_ROTATION = int(
 )
 
 
+def rotation_from_name(name: str) -> int:
+    """Index of the rotation named in the reference's `GridRotation`
+    scheme (rotation.rs:42): "R" + images of the x, y, z basis vectors,
+    uppercase = positive axis, lowercase = negative (e.g. "RXZy" maps
+    x→+x, y→+z, z→−y)."""
+    assert name.startswith("R") and len(name) == 4, name
+    axes = {"x": 0, "y": 1, "z": 2}
+    m = np.zeros((3, 3), np.int32)
+    for col, ch in enumerate(name[1:]):
+        m[axes[ch.lower()], col] = 1 if ch.isupper() else -1
+    matches = np.nonzero((ROTATION_MATRICES == m).all(axis=(1, 2)))[0]
+    assert len(matches) == 1
+    return int(matches[0])
+
+
 def rotate_voxel_array(arr: np.ndarray, rot: np.ndarray) -> np.ndarray:
     """Rotate a cubical voxel array [R,R,R,...] by a signed permutation.
 
