@@ -32,16 +32,38 @@ class Rendering:
     flaws: tuple[str, ...] = ()
 
 
-def render_hdr(state: SpaceState, camera: Camera, include_sky: bool = True):
-    """Trace the frame; returns HDR linear light f32[H,W,3] on device."""
+def render_hdr(
+    state: SpaceState,
+    camera: Camera,
+    include_sky: bool = True,
+    with_stats: bool = False,
+):
+    """Trace the frame; returns HDR linear light f32[H,W,3] on device
+    (plus a stats dict when with_stats — the RaytraceInfo analog)."""
     aa = camera.options.antialiasing
     origins, directions = camera.pixel_rays(supersample=aa)
-    light, trans = trace_rays(
-        state, origins, directions, camera.options, include_sky=include_sky
-    )
+    opts = camera.options
+    if opts.lighting_display == "bounce":
+        from .tracer import trace_rays_bounce
+        import jax
+
+        light, trans = trace_rays_bounce(
+            state, origins, directions, opts, jax.random.PRNGKey(0),
+            include_sky=include_sky,
+        )
+        stats = None
+    else:
+        out = trace_rays(
+            state, origins, directions, opts, include_sky=include_sky,
+            return_stats=with_stats,
+        )
+        light, trans = out[0], out[1]
+        stats = out[2] if with_stats else None
     if aa:
         light = light.mean(axis=2)  # mean over the 4 sub-pixels (accum.rs mean)
         trans = trans.mean(axis=2)
+    if with_stats:
+        return light, trans, stats
     return light, trans
 
 
@@ -73,15 +95,24 @@ def auto_exposure_target(light) -> float:
 
 
 def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rendering:
-    """Render to an sRGB image (host)."""
-    light, trans = render_hdr(state, camera, include_sky)
+    """Render to an sRGB image (host). Imperfections are *reported* in
+    Rendering.flaws (flaws.rs contract), never silently dropped."""
+    flaws: list[str] = []
+    if camera.options.lighting_display == "bounce":
+        light, trans = render_hdr(state, camera, include_sky)
+    else:
+        light, trans, stats = render_hdr(state, camera, include_sky, with_stats=True)
+        if bool(np.asarray(stats["unfinished"])):
+            flaws.append("UNFINISHED")  # rays exhausted their step budget
     if camera.options.bloom_intensity > 0.0:
         light = apply_bloom(light, camera.options.bloom_intensity)
     rgb = camera.post_process(light)
     srgb = linear_to_srgb8(rgb)
     alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
     img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
-    return Rendering(camera.viewport.width, camera.viewport.height, img)
+    return Rendering(
+        camera.viewport.width, camera.viewport.height, img, tuple(flaws)
+    )
 
 
 def save_png(rendering: Rendering, path: str):

@@ -43,6 +43,7 @@ from ..space.state import SpaceState
 from .accel import RES_SHIFT, SKIP_MASK, SKIP_SHIFT, VISIBLE_BIT, VOXEL_BIT
 from .options import (
     GraphicsOptions,
+    LIGHT_BOUNCE,
     LIGHT_COARSE,
     LIGHT_FLAT,
     LIGHT_LINEAR,
@@ -103,6 +104,160 @@ def _interp_modifier(mix, mode: str):
     if mode == LIGHT_COARSE:
         return jnp.zeros_like(mix)
     return mix
+
+
+# Pseudo-status for padded texels outside the bounds that are NOT adjacent
+# to exactly one face: value 0, AO-weight 0, but *valid* for the purposes
+# of the diagonal light-leak check (matching _fetch_light_texel's OOB
+# semantics / BlockSky::light_outside, sky.rs:96).
+_STATUS_OUTSIDE_ZERO = 254
+
+#: Maximum volume (cubes) for which the per-(cube, face) interpolation-row
+#: table is built: 432 B/cube; above this the tracer falls back to
+#: per-texel fetches.
+_INTERP_ROWS_MAX_VOLUME = 1 << 19
+
+
+def _build_interp_rows(state: SpaceState):
+    """Pack the 18 light texels smooth lighting can touch per (cube, face)
+    into one gatherable row: u8[vol*6, 18*4].
+
+    Smooth lighting (`get_interpolated_light`, sr.rs:248) samples 8 texels
+    per hit, all within {cube + p·n + su·u + sv·v : p∈{0,1}, su,sv∈{-1,0,1}}
+    — 18 candidates. On TPU a row gather costs the same as an element
+    gather (PERF.md), so shading drops from 16 texel gathers (plus decode
+    table lookups) per ray to ONE row gather plus VPU selects.
+
+    Out-of-bounds texels follow BlockSky::light_outside: face slabs carry
+    the (already quantized) sky face value with VISIBLE status; edges and
+    corners carry _STATUS_OUTSIDE_ZERO.
+    """
+    size = state.light.shape[:3]
+    pad = jnp.zeros((size[0] + 2, size[1] + 2, size[2] + 2, 4), jnp.uint8)
+    pad = pad.at[..., 3].set(_STATUS_OUTSIDE_ZERO)
+    inner = tuple(slice(1, 1 + size[a]) for a in range(3))
+    pad = pad.at[inner[0], inner[1], inner[2]].set(state.light)
+    sky_texels = lightpack.encode_rgb(state.sky_faces)  # [6,4]
+    for a in range(3):
+        lo = [inner[0], inner[1], inner[2]]
+        hi = [inner[0], inner[1], inner[2]]
+        lo[a] = 0
+        hi[a] = size[a] + 1
+        pad = pad.at[lo[0], lo[1], lo[2]].set(sky_texels[a])
+        pad = pad.at[hi[0], hi[1], hi[2]].set(sky_texels[a + 3])
+
+    frames = np.asarray(faces.FACE_TANGENT_FRAMES, np.int32)  # [6,2,3]
+    normals = np.asarray(faces.FACE_NORMALS, np.int32)
+    per_face = []
+    for f in range(6):
+        u, v, n = frames[f, 0], frames[f, 1], normals[f]
+        shifts = []
+        for p in (0, 1):
+            for su in (-1, 0, 1):
+                for sv in (-1, 0, 1):
+                    d = p * n + su * u + sv * v
+                    shifts.append(
+                        pad[
+                            1 + d[0] : 1 + d[0] + size[0],
+                            1 + d[1] : 1 + d[1] + size[1],
+                            1 + d[2] : 1 + d[2] + size[2],
+                        ]
+                    )
+        per_face.append(jnp.stack(shifts, axis=-2))  # [X,Y,Z,18,4]
+    rows = jnp.stack(per_face, axis=-3)  # [X,Y,Z,6,18,4]
+    return rows.reshape(-1, 18 * 4)
+
+
+def _onehot_matmul(idx, table):
+    """take() from a tiny constant table without a gather: one-hot × table."""
+    k = table.shape[0]
+    oh = jax.nn.one_hot(idx, k, dtype=jnp.float32)
+    return oh @ jnp.asarray(table, jnp.float32)
+
+
+def _decode_row_texel(texel):
+    """u8[...,4] packed texel (+padding pseudo-status) → (rgbw f32[...,4],
+    valid bool[...]) matching _fetch_light_texel's semantics."""
+    rgb = lightpack.decode_scalar(texel[..., :3])
+    status = texel[..., 3].astype(jnp.int32)
+    weight = jnp.where(
+        status == lightpack.STATUS_VISIBLE,
+        1.0,
+        jnp.where(status == lightpack.STATUS_OPAQUE, 0.25, 0.0),
+    )
+    valid = (status == lightpack.STATUS_VISIBLE) | (status == _STATUS_OUTSIDE_ZERO)
+    return jnp.concatenate([rgb, weight[..., None]], axis=-1), valid
+
+
+def _interpolated_light_rows(state, rows, cube, point, face, mode: str):
+    """get_interpolated_light via the interp-row table: one row gather per
+    hit, texel selection as VPU one-hot sums. Same math as
+    _interpolated_light (AO-weighted bilinear + leak fix + height blend)."""
+    eps = 0.5 / 256.0
+    f = jnp.clip(face, 0, 5)
+    frames = np.asarray(faces.FACE_TANGENT_FRAMES, np.float32)
+    u = _onehot_matmul(f, frames[:, 0, :])
+    v = _onehot_matmul(f, frames[:, 1, :])
+    n = _onehot_matmul(f, np.asarray(faces.FACE_NORMALS, np.float32))
+
+    size = state.light.shape[:3]
+    flat = (cube[..., 0] * size[1] + cube[..., 1]) * size[2] + cube[..., 2]
+    row = jnp.take(rows, flat * 6 + f, axis=0).reshape(point.shape[:-1] + (18, 4))
+
+    mix1 = jnp.mod((point * u).sum(-1) - 0.5, 1.0)
+    mix2 = jnp.mod((point * v).sum(-1) - 0.5, 1.0)
+    flip1 = mix1 > 0.5
+    flip2 = mix2 > 0.5
+    mix1 = jnp.where(flip1, 1.0 - mix1, mix1)
+    mix2 = jnp.where(flip2, 1.0 - mix2, mix2)
+    dir1 = jnp.where(flip1[..., None], -u, u)
+    dir2 = jnp.where(flip2[..., None], -v, v)
+    mix1 = _interp_modifier(mix1, mode)
+    mix2 = _interp_modifier(mix2, mode)
+
+    center = jnp.asarray(cube, jnp.float32) + 0.5
+    height = ((point - center) * n).sum(-1) + 0.5
+
+    cube_f = jnp.asarray(cube, jnp.float32)
+    iota18 = jnp.arange(18, dtype=jnp.int32)
+
+    def texel_at(sample_point):
+        """Select the texel whose cube is floor(sample_point) from the row."""
+        off = jnp.floor(sample_point) - cube_f  # each component ∈ {-1,0,1}
+        su = jnp.asarray(jnp.round((off * u).sum(-1)), jnp.int32)
+        sv = jnp.asarray(jnp.round((off * v).sum(-1)), jnp.int32)
+        sn = jnp.asarray(jnp.round((off * n).sum(-1)), jnp.int32)
+        idx = jnp.clip(sn, 0, 1) * 9 + (jnp.clip(su, -1, 1) + 1) * 3 + (
+            jnp.clip(sv, -1, 1) + 1
+        )
+        sel = (idx[..., None] == iota18).astype(jnp.float32)  # [n,18]
+        texel = jnp.einsum("...t,...tc->...c", sel, row.astype(jnp.float32))
+        return _decode_row_texel(texel.astype(jnp.uint8))
+
+    def fetch_2d(origin):
+        def get(s1, s2):
+            return texel_at(origin + dir1 * (0.5 * s1) + dir2 * (0.5 * s2))
+
+        near12, _ = get(-1.0, -1.0)
+        near1far2, v_nf = get(-1.0, 1.0)
+        near2far1, v_fn = get(1.0, -1.0)
+        far12, _ = get(1.0, 1.0)
+        leak = (~v_nf) & (~v_fn)
+        far12 = jnp.where(leak[..., None], near12, far12)
+        m2 = mix2[..., None]
+        m1 = mix1[..., None]
+        lo = near12 * (1 - m2) + near1far2 * m2
+        hi = near2far1 * (1 - m2) + far12 * m2
+        return lo * (1 - m1) + hi * m1
+
+    in_front = fetch_2d(point + n * (1.0 - eps))
+    same = fetch_2d(point + n * eps)
+    hmix = jnp.clip(height, 0.0, 1.0)[..., None]
+    final = jnp.where(
+        (height > 1.0 - eps)[..., None], in_front, same * (1 - hmix) + in_front * hmix
+    )
+    weight = jnp.maximum(final[..., 3], 0.1)
+    return final[..., :3] / weight[..., None]
 
 
 def _interpolated_light(state: SpaceState, cube, point, face, mode: str):
@@ -181,7 +336,8 @@ def _apply_transmittance_jax(alpha, thickness):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "options", "include_sky", "max_steps", "phases", "substeps", "compact"
+        "options", "include_sky", "max_steps", "phases", "substeps", "compact",
+        "return_stats", "beam_tile", "return_hits",
     ),
 )
 def trace_rays(
@@ -194,12 +350,29 @@ def trace_rays(
     phases: int = 4,
     substeps: int = 2,
     compact: bool = False,
+    return_stats: bool = False,
+    beam_tile: int = 8,
+    return_hits: bool = False,
+    illum_override=None,
 ):
     """Trace rays (world coords, any batch shape (..., 3)). Returns
-    (light f32[...,3] premultiplied HDR, transmittance f32[...])."""
+    (light f32[...,3] premultiplied HDR, transmittance f32[...]); with
+    return_stats, appends a dict (per-phase loop iteration counts and
+    walker counts) — the RaytraceInfo analog (sr.rs:520); with
+    return_hits, appends the first phase's hit buffer (for bounce
+    lighting). `illum_override` (f32[n_rays,3]) replaces the stored-light
+    illumination for the FIRST phase's hits — the hook through which
+    `trace_rays_bounce` injects its Lambertian-sampled illumination.
+
+    LightingOption::Bounce dispatch (surface.rs:169-177): within this
+    function Bounce shades as Flat (the bounce budget is spent by the
+    caller injecting illum_override); use trace_rays_bounce for the full
+    effect."""
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3).astype(jnp.float32) - jnp.asarray(state.lower, jnp.float32)
     d = directions.reshape(-1, 3).astype(jnp.float32)
+    if illum_override is not None:
+        illum_override = illum_override.reshape(-1, 3)
     n_rays = o.shape[0]
     size_i = jnp.asarray(state.contents.shape, jnp.int32)
     size_f = jnp.asarray(state.contents.shape, jnp.float32)
@@ -276,6 +449,118 @@ def trace_rays(
             + (b[..., 0] * vbd[1] + b[..., 1]) * vbd[2] + b[..., 2]
         )
         return jnp.where(inner, innerk, outer)
+
+    # ---- beam pre-pass: per-tile conservative start distance ------------
+    # Cone-march the skip-distance field (a chebyshev distance-to-visible,
+    # accel.py) for each beam_tile×beam_tile pixel tile: the whole tile's
+    # rays provably hit nothing before the beam's stop distance, so the
+    # full-resolution DDA starts there, skipping most of the march. This
+    # is sphere tracing on the same field the per-ray skip jumps use.
+    use_beams = (
+        beam_tile > 0
+        and len(batch_shape) == 2
+        and batch_shape[0] % beam_tile == 0
+        and batch_shape[1] % beam_tile == 0
+    )
+
+    def _beam_start(th):
+        ht, wt = batch_shape[0] // th, batch_shape[1] // th
+        o_t = o.reshape(ht, th, wt, th, 3)
+        d_t = d.reshape(ht, th, wt, th, 3)
+        dn = d_t / jnp.linalg.norm(d_t, axis=-1, keepdims=True)
+        u = dn.mean(axis=(1, 3))
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)  # [ht,wt,3]
+        o_c = o_t.mean(axis=(1, 3))
+        # Cone: radius(s) = r0 + s·spread bounds every tile ray's distance
+        # from the center-ray point at equal projection s (|Δo| + arc·sinθ
+        # with arc ≈ s·sec θ; the 1.15 factor absorbs the sec θ and
+        # sinθ-vs-tanθ slack for tile half-angles up to ~30°).
+        spread = 1.15 * jnp.linalg.norm(
+            dn - u[:, None, :, None, :], axis=-1
+        ).max(axis=(1, 3))
+        r0 = jnp.linalg.norm(
+            o_t - o_c[:, None, :, None, :], axis=-1
+        ).max(axis=(1, 3))
+
+        # Per-member box entry, as projections onto the center ray: the
+        # march must start no later than the FIRST member enters the box
+        # (everything before that projection is outside the box ⇒ empty).
+        proj = (d_t * u[:, None, :, None, :]).sum(-1)  # [ht,th,wt,tw]
+        ooff = ((o_t - o_c[:, None, :, None, :]) * u[:, None, :, None, :]).sum(-1)
+        t_enter_t = t_enter.reshape(ht, th, wt, th)
+        hits_t = hits_box.reshape(ht, th, wt, th) & (proj > 1e-9)
+        member_entry_s = jnp.where(
+            hits_t, ooff + t_enter_t * jnp.maximum(proj, 1e-9), jnp.inf
+        )
+        s_first = member_entry_s.min(axis=(1, 3))
+        s_last_exit = jnp.where(
+            hits_t,
+            ooff + t_exit.reshape(ht, th, wt, th) * jnp.maximum(proj, 1e-9),
+            -jnp.inf,
+        ).max(axis=(1, 3))
+
+        max_abs_u = jnp.maximum(jnp.abs(u).max(-1), 1e-30)
+        t = jnp.maximum(s_first, 0.0)
+        done = ~jnp.isfinite(s_first)
+        t = jnp.where(done, 0.0, t)
+        no_inner = jnp.zeros(t.shape, bool)
+        zero_v = jnp.zeros(t.shape, jnp.int32)
+
+        def bstep(carry):
+            t, done, k = carry
+            p = o_c + u * t[..., None]
+            # L∞ distance from p to the volume box: the ball of that
+            # radius contains no in-bounds cubes at all.
+            m = jnp.maximum(jnp.maximum(-p, p - size_f), 0.0).max(-1)
+            cube = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, size_i - 1)
+            bkey = _brick_key(cube, no_inner, zero_v)
+            rowb = jnp.take(cells_rows, bkey, axis=0)
+            local = (
+                ((cube[..., 0] & 3) << 4)
+                | ((cube[..., 1] & 3) << 2)
+                | (cube[..., 2] & 3)
+            )
+            cell = (rowb * (local_iota == local[..., None])).sum(-1)
+            vis = (cell & VISIBLE_BIT) != 0
+            skip = (cell >> SKIP_SHIFT) & SKIP_MASK
+            dist = jnp.where(vis, 0, skip).astype(jnp.float32)
+            # Safe empty radius around p: either everything within m is
+            # outside the box, or (skip field, clipped-cube penalty) no
+            # visible cube within dist − m − 2.
+            safe = jnp.maximum(m, dist - m - 2.0)
+            r = r0 + t * spread
+            adv = (safe - r) * 0.99 / (max_abs_u + spread)
+            good = ~done & (adv > 1e-3) & (t < s_last_exit)
+            t = jnp.where(good, t + adv, t)
+            return t, done | ~good, k + 1
+
+        def bcond(carry):
+            t, done, k = carry
+            return (k < 32) & ~done.all()
+
+        t, _, _ = jax.lax.while_loop(bcond, bstep, (t, done, jnp.int32(0)))
+        # Ray-param bound: the guarantee covers points whose projection on
+        # the center ray is ≤ t, so τ ≤ (t − (o_r−o_c)·u) / (d_r·u).
+        tau = (t[:, None, :, None] - ooff) / jnp.maximum(proj, 1e-9)
+        tau = jnp.where((proj > 1e-9) & ~done[:, None, :, None], jnp.maximum(tau, 0.0), 0.0)
+        return tau.reshape(n_rays)
+
+    if use_beams:
+        tau_beam = _beam_start(beam_tile)
+        # Only skip ahead when the beam proved at least half a cube of
+        # empty space past the entry: a stalled beam (entry cube visible)
+        # must keep the boundary-shading entry init.
+        beyond = tau_beam > t_enter + 0.51 / max_abs_d
+        t_eff = jnp.maximum(t_enter, tau_beam)
+        p_b = o + d * (t_eff[..., None] + 1e-5)
+        cube_b = jnp.clip(jnp.floor(p_b).astype(jnp.int32), 0, size_i - 1)
+        boundary_b = cube_b + step_pos
+        tmax_b = (jnp.asarray(boundary_b, jnp.float32) - o) * inv_d
+        tmax_b = jnp.where(step == 0, _INF, tmax_b)
+        cube0 = jnp.where(beyond[..., None], cube_b, cube0)
+        tmax0 = jnp.where(beyond[..., None], tmax_b, tmax0)
+        # Beam start beyond the volume exit → the ray hits nothing.
+        hits_box = hits_box & ~(beyond & (t_eff >= t_exit))
 
     tables = state.tables
 
@@ -508,7 +793,9 @@ def trace_rays(
             st = sub_step(st, ctx, row, bkey)
         return st
 
-    def run_loop(st, ctx, fuel):
+    iters_used = []  # per-phase loop iteration counts (for return_stats)
+
+    def run_loop(st, ctx, fuel, collect=True):
         def body(carry):
             s, f = carry
             return traversal_body(s, ctx), f - 1
@@ -517,31 +804,52 @@ def trace_rays(
             s, f = carry
             return (f > 0) & s["walking"].any()
 
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(fuel)))
+        st, f_left = jax.lax.while_loop(cond, body, (st, jnp.int32(fuel)))
+        if collect:
+            iters_used.append(jnp.int32(fuel) - f_left)
         return st
 
-    def run_with_compaction(st, ctx, stage1):
-        """Run `stage1` iterations full-width; if ≤¼ of the rays are then
-        still walking (the usual case — most rays hit or exit early), sort
-        walking-first, finish on a quarter-width buffer, and scatter back.
-        The loop tail is where rays hug surfaces and step cube-by-cube;
-        shrinking the gather rows 4× shrinks its cost 4×."""
+    def _walking_first_index(walking, k):
+        """First k slots of a stable walking-first partition. Cumsum-based:
+        a full argsort here costs ~1.3 s at 2M rays (measured)."""
+        w = walking.astype(jnp.int32)
+        pos_w = jnp.cumsum(w) - 1  # destinations for walking rays
+        n_walk = pos_w[-1] + 1
+        pos_nw = n_walk + jnp.cumsum(1 - w) - 1  # then the rest, in order
+        dest = jnp.where(walking, pos_w, pos_nw)
+        idx = jnp.zeros(n_rays, jnp.int32).at[dest].set(
+            jnp.arange(n_rays, dtype=jnp.int32)
+        )
+        return idx[:k]
+
+    def run_with_compaction(st, ctx, stage1, frac=4):
+        """Run `stage1` iterations full-width; if ≤1/frac of the rays are
+        then still walking (the usual case — most rays hit or exit early),
+        partition walking-first, finish on a narrow buffer, and scatter
+        back. The loop tail is where rays hug surfaces and step
+        cube-by-cube; shrinking the gather rows shrinks its cost
+        proportionally."""
         st = run_loop(st, ctx, stage1)
-        quarter = max(n_rays // 4, 1)
+        part = max(n_rays // frac, 1)
 
         def small(st):
-            order = jnp.argsort(~st["walking"], stable=True)
-            idx = order[:quarter]
+            idx = _walking_first_index(st["walking"], part)
             take = lambda a: jnp.take(a, idx, axis=0)
             st_s = jax.tree.map(take, st)
             ctx_s = jax.tree.map(take, ctx)
-            st_s = run_loop(st_s, ctx_s, max_steps)
+            st_s = run_loop(st_s, ctx_s, max_steps, collect=False)
             return jax.tree.map(lambda full, sub: full.at[idx].set(sub), st, st_s)
 
         def full(st):
-            return run_loop(st, ctx, max_steps)
+            return run_loop(st, ctx, max_steps, collect=False)
 
-        return jax.lax.cond(st["walking"].sum() <= quarter, small, full, st)
+        n_walking = st["walking"].sum()
+        return jax.lax.cond(
+            n_walking == 0,
+            lambda st: st,
+            lambda st: jax.lax.cond(n_walking <= part, small, full, st),
+            st,
+        )
 
     light_acc = jnp.zeros((n_rays, 3), jnp.float32)
     trans_acc = jnp.ones(n_rays, jnp.float32)
@@ -549,7 +857,13 @@ def trace_rays(
     palette_rows = tables.palette_rows  # f32[P,8]
     vox_rows = tables.vox_rows.reshape(-1, 8)  # f32[V*R³,8]
 
-    def shade_phase(st, light_acc, trans_acc):
+    use_interp_rows = (
+        lighting in (LIGHT_LINEAR, LIGHT_SMOOTHSTEP, LIGHT_COARSE)
+        and n_space <= _INTERP_ROWS_MAX_VOLUME
+    )
+    interp_rows = _build_interp_rows(state) if use_interp_rows else None
+
+    def shade_phase(st, light_acc, trans_acc, phase_illum=None):
         """Shade all buffered hits (one gather-heavy pass per phase)."""
         has_hit = st["hit_kind"] != HIT_NONE
         atom_row = jnp.take(palette_rows, st["hit_idx"], axis=0)
@@ -574,12 +888,19 @@ def trace_rays(
 
         if lighting == LIGHT_NONE:
             illum = jnp.ones((n_rays, 3), jnp.float32)
-        elif lighting == LIGHT_FLAT:
+        elif lighting in (LIGHT_FLAT, LIGHT_BOUNCE):
+            # Bounce past its budget shades Flat (surface.rs:173-177).
             illum = _flat_light(state, st["hit_cube"], st["hit_face"])
+        elif use_interp_rows:
+            illum = _interpolated_light_rows(
+                state, interp_rows, st["hit_cube"], point, st["hit_face"], lighting
+            )
         else:
             illum = _interpolated_light(
                 state, st["hit_cube"], point, st["hit_face"], lighting
             )
+        if phase_illum is not None:
+            illum = phase_illum
 
         out_rgb = rgba[..., :3] * illum * alpha[..., None] + emission_scaled
         surf_trans = 1.0 - alpha
@@ -599,7 +920,12 @@ def trace_rays(
         return light_acc2, trans_acc2
 
     st = init
+    walkers = []
+    first_hits = None
+    unfinished = jnp.asarray(False)
     for _phase in range(phases):
+        if return_stats:
+            walkers.append(st["walking"].sum())
         # Phase 1: most rays finish in the first dozen iterations; later
         # phases start with few walkers (transparent continuations).
         if compact:
@@ -607,11 +933,21 @@ def trace_rays(
         else:
             st = run_loop(st, ctx0, max_steps)
         has_hit = st["hit_kind"] != HIT_NONE
+        if return_stats:
+            # Rays still walking after the loop ran out of fuel produce an
+            # imperfect frame (Flaws::UNFINISHED analog).
+            unfinished = unfinished | st["walking"].any()
+        if _phase == 0 and return_hits:
+            first_hits = {
+                k: st[k]
+                for k in ("hit_kind", "hit_face", "hit_t", "hit_cube", "hit_idx")
+            }
+        phase_illum = illum_override if _phase == 0 else None
         # Skip the whole shading pass when no ray hit anything this phase
         # (later phases of opaque scenes cost nothing).
         light_acc, trans_acc = jax.lax.cond(
             has_hit.any(),
-            lambda la, ta: shade_phase(st, la, ta),
+            lambda la, ta: shade_phase(st, la, ta, phase_illum),
             lambda la, ta: (la, ta),
             light_acc,
             trans_acc,
@@ -624,7 +960,18 @@ def trace_rays(
         light_acc = light_acc + sky_rgb * trans_acc[..., None]
         trans_acc = jnp.zeros_like(trans_acc)
 
-    return light_acc.reshape(batch_shape + (3,)), trans_acc.reshape(batch_shape)
+    out = (light_acc.reshape(batch_shape + (3,)), trans_acc.reshape(batch_shape))
+    if return_stats:
+        out = out + (
+            dict(
+                iters=jnp.stack(iters_used),
+                walkers=jnp.stack(walkers),
+                unfinished=unfinished,
+            ),
+        )
+    if return_hits:
+        out = out + (first_hits,)
+    return out
 
 
 def _sky_sample(state: SpaceState, d):
@@ -635,3 +982,69 @@ def _sky_sample(state: SpaceState, d):
         + (d[..., 2] >= 0).astype(jnp.int32)
     )
     return jnp.take(state.sky_octants, oct_idx, axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "include_sky", "phases")
+)
+def trace_rays_bounce(
+    state: SpaceState,
+    origins,
+    directions,
+    options: GraphicsOptions,
+    key,
+    include_sky: bool = True,
+    phases: int = 4,
+):
+    """LightingOption::Bounce (surface.rs:113-163): primary hits are
+    illuminated by `options.bounce_samples` Lambertian secondary rays
+    (direction = face normal + uniform unit-sphere sample, origin nudged
+    off the surface), each traced with stored-light Flat shading (the
+    bounce budget is 1). Later transparency phases shade Flat.
+
+    Returns (light, trans) like trace_rays. `key` is a jax PRNG key —
+    bounce is pseudo-random and noisy by design (the reference excludes
+    it from its golden suite for this reason)."""
+    import dataclasses
+
+    batch_shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3).astype(jnp.float32)
+    d = directions.reshape(-1, 3).astype(jnp.float32)
+    samples = max(int(options.bounce_samples), 1)
+
+    _, _, hits = trace_rays(
+        state, o, d, options, include_sky=include_sky, phases=1,
+        return_hits=True, beam_tile=0,
+    )
+    has_hit = hits["hit_kind"] != HIT_NONE
+    normals = jnp.asarray(faces.FACE_NORMALS, jnp.float32)
+    n = jax.nn.one_hot(jnp.clip(hits["hit_face"], 0, 5), 6) @ normals
+    point = o + d * hits["hit_t"][..., None] + n * 1e-4
+
+    flat_opts = dataclasses.replace(options, lighting_display=LIGHT_FLAT)
+
+    def sample_body(acc, key_i):
+        sph = jax.random.normal(key_i, point.shape)
+        sph = sph / jnp.maximum(
+            jnp.linalg.norm(sph, axis=-1, keepdims=True), 1e-9
+        )
+        d2 = n + sph
+        # Degenerate direction (sample ≈ -normal): fall back to the normal.
+        tiny = jnp.linalg.norm(d2, axis=-1, keepdims=True) < 1e-3
+        d2 = jnp.where(tiny, n, d2)
+        li, _ = trace_rays(
+            state, point, d2, flat_opts, include_sky=True, phases=2,
+            beam_tile=0,
+        )
+        return acc + li, None
+
+    keys = jax.random.split(key, samples)
+    illum, _ = jax.lax.scan(sample_body, jnp.zeros_like(point), keys)
+    illum = illum / float(samples)
+
+    light, trans = trace_rays(
+        state, o, d, options, include_sky=include_sky, phases=phases,
+        illum_override=jnp.where(has_hit[..., None], illum, 0.0),
+        beam_tile=0,
+    )
+    return light.reshape(batch_shape + (3,)), trans.reshape(batch_shape)
