@@ -210,7 +210,14 @@ def _padded_light(state: SpaceState, pad):
 def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
     """Scan the given (ray, step) pair list; returns (incoming, total_w)
     accumulated over exactly those rays. Additive across disjoint ray
-    subsets — the sharded pass psums these across devices."""
+    subsets — the sharded pass psums these across devices, and the
+    multi-lane pass (`_run_pairs` with a lane axis via vmap) sums lanes.
+
+    When the xs arrays carry a lane axis ([n_iter, L, ...]), the body is
+    vmapped over L: one scan iteration advances L rays at once, so the
+    per-iteration op-dispatch overhead (the measured 35 µs floor on small
+    volumes, PERF.md) is amortized L-fold and the dynamic slices become
+    batched window gathers."""
     pad = ctx.pad
     normals = jnp.asarray(faces.FACE_NORMALS, jnp.int32)
     pad_v = jnp.asarray(pad, jnp.int32)
@@ -222,6 +229,10 @@ def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
     gz = jax.lax.broadcasted_iota(jnp.int32, size, 2)
 
     zero_v = jnp.zeros(size, jnp.float32)
+
+    lanes = None
+    if xs["ray_id"].ndim == 2:  # [n_iter, L] — lane-parallel pair stream
+        lanes = xs["ray_id"].shape[1]
 
     def body(carry, x):
         alpha, live, incoming, total_w, ray_w, sky_ray = carry
@@ -314,37 +325,75 @@ def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
         incoming = incoming + contrib
         return (alpha, live, incoming, total_w, ray_w, sky_ray), None
 
+    if lanes is None:
+        init = (
+            ctx.alpha0,
+            jnp.zeros(size, jnp.bool_),
+            jnp.zeros(size + (3,), jnp.float32),
+            zero_v,
+            zero_v,
+            jnp.zeros(3, jnp.float32),
+        )
+        (alpha, live, incoming, total_w, _, _), _ = jax.lax.scan(body, init, xs)
+        return incoming, total_w
+
+    # Lane-parallel: vmap the pair body over L simultaneous rays. The
+    # window dynamic-slices batch into gathers of whole shifted volumes
+    # (large-slice gathers run near memory speed; what the per-pair scan
+    # paid in op dispatch, this pays once per L pairs).
+    bcast = lambda a: jnp.broadcast_to(a, (lanes,) + a.shape)
     init = (
-        ctx.alpha0,
-        jnp.zeros(size, jnp.bool_),
-        jnp.zeros(size + (3,), jnp.float32),
-        zero_v,
-        zero_v,
-        jnp.zeros(3, jnp.float32),
+        bcast(ctx.alpha0),
+        jnp.zeros((lanes,) + size, jnp.bool_),
+        jnp.zeros((lanes,) + size + (3,), jnp.float32),
+        bcast(zero_v),
+        bcast(zero_v),
+        jnp.zeros((lanes, 3), jnp.float32),
     )
-    (alpha, live, incoming, total_w, _, _), _ = jax.lax.scan(body, init, xs)
-    return incoming, total_w
+    vbody = jax.vmap(lambda c, x: body(c, x)[0])
+    (alpha, live, incoming, total_w, _, _), _ = jax.lax.scan(
+        lambda c, x: (vbody(c, x), None), init, xs
+    )
+    return incoming.sum(0), total_w.sum(0)
 
 
-@jax.jit
-def relight_all_pass(state: SpaceState, ctx: RelightCtx):
+def _default_lanes(size) -> int:
+    """Lane count heuristic: enough lanes to amortize per-iteration op
+    dispatch, few enough that the [L, X, Y, Z] working set stays modest."""
+    cells = int(np.prod(size))
+    return int(max(1, min(32, (4 << 20) // max(cells, 1))))
+
+
+@functools.partial(jax.jit, static_argnames=("lanes",))
+def relight_all_pass(state: SpaceState, ctx: RelightCtx, lanes: int | None = None):
     """One Jacobi pass: new packed light u8[X,Y,Z,4] for every cube.
 
     Bitwise-identical per-cube results to `relight_batch` over the full
     cube list (tested); each pass reads only the pre-pass light field.
+    `lanes` rays advance simultaneously (see _run_pairs); lanes=1 keeps
+    the single-stream scan.
     """
     size = state.contents.shape
-    ch = _pair_tables(state.light_max_distance, size)
-    cosines = jnp.asarray(ch["cosines"])  # [R,6]
+    if lanes is None:
+        lanes = _default_lanes(size)
+    cosines = jnp.asarray(
+        _pair_tables(state.light_max_distance, size)["cosines"]
+    )  # [R,6]
     sky_ray_table = (cosines @ state.sky_faces) / cosines.sum(-1, keepdims=True)
     light_pad = _padded_light(state, ctx.pad)
-    xs = dict(
-        off=jnp.asarray(ch["off"]),
-        face=jnp.asarray(ch["face"]),
-        is_end=jnp.asarray(ch["is_end"]),
-        ray_new=jnp.asarray(ch["ray_new"]),
-        ray_id=jnp.asarray(ch["ray_id"]),
-    )
+    if lanes == 1:
+        ch = _pair_tables(state.light_max_distance, size)
+        xs = {
+            k: jnp.asarray(ch[k])
+            for k in ("off", "face", "is_end", "ray_new", "ray_id")
+        }
+    else:
+        ch = _pair_tables_sharded(state.light_max_distance, size, lanes)
+        # [L, n_iter, ...] → scan-major [n_iter, L, ...]
+        xs = {
+            k: jnp.moveaxis(jnp.asarray(ch[k]), 0, 1)
+            for k in ("off", "face", "is_end", "ray_new", "ray_id")
+        }
     incoming, total_w = _run_pairs(ctx, size, light_pad, cosines, sky_ray_table, xs)
     return _finish(ctx, incoming + ctx.incoming0, total_w)
 
@@ -459,11 +508,28 @@ def _apply_pass(state: SpaceState, new_light):
     return new_state, stats
 
 
+def _use_pallas_pass(state: SpaceState) -> bool:
+    """Whether the VMEM Pallas kernel (pallas_relight.py) handles this
+    volume: TPU backend and everything fits in VMEM."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas_relight import vmem_estimate_bytes
+
+    return vmem_estimate_bytes(state.contents.shape) <= 14 * (1 << 20)
+
+
 def relight_all(state: SpaceState, ctx: RelightCtx | None = None):
     """One whole-volume relight round. Returns (state, stats)."""
     if ctx is None:
         ctx = build_relight_ctx(state)
-    new_light = relight_all_pass(state, ctx)
+    if _use_pallas_pass(state):
+        from .pallas_relight import relight_all_pass_pallas
+
+        new_light = relight_all_pass_pallas(state, ctx)
+    else:
+        new_light = relight_all_pass(state, ctx)
     return _apply_pass(state, new_light)
 
 
