@@ -176,8 +176,15 @@ def main(argv=None):
         print(f"serving on http://127.0.0.1:{srv.port}/", file=sys.stderr)
         srv.serve_forever()
     elif args.graphics == "terminal":
-        print(ansi_image(r.data))
-        print("(interactive terminal mode lands with the session UI round)")
+        if not sys.stdin.isatty():
+            # One-shot fallback (terminal.rs -print behavior) for pipes.
+            print(ansi_image(r.data))
+            return
+        from .apps.terminal import run_terminal_session
+
+        run_terminal_session(
+            space, state, width=args.width, height=args.height, options=options
+        )
 
 
 if __name__ == "__main__":

@@ -1,10 +1,12 @@
 """Benchmark entry: prints ONE JSON line with the headline metric.
 
-Headline: raytrace throughput in Mrays/sec on the cornell-box config
-(BASELINE.json config 1; the atrium 1080p config lands in a later round).
-`vs_baseline` is the ratio against the 100 Mrays/sec north-star target
-(the reference publishes no absolute numbers — BASELINE.md). Extra fields
-report the relight kernel (BASELINE config 2: lighting convergence).
+Headline: raytrace throughput on the NORTH-STAR config (BASELINE.json
+config 4): the Atrium template at 1920×1080 with recursive R16 blocks and
+emissive lighting, smoothstep light display. `vs_baseline` is the ratio
+against the 100 Mrays/sec north-star target (the reference publishes no
+absolute numbers — BASELINE.md). Extra fields cover BASELINE configs 1-2:
+cornell-box 256² trace and full relight convergence (cornell 32³ and the
+reference's light_bench 54×16×54 scene).
 
 Timing note: on the tunneled TPU backend `jax.block_until_ready` can
 return before execution completes; every timed section syncs by copying
@@ -19,65 +21,83 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    import jax
+
+    jax.block_until_ready(x)
+    return np.asarray(jax.tree.leaves(x)[0].reshape(-1)[0])
+
+
+def _time(fn, n=5):
+    _sync(fn())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n
+
+
 def main():
-    from aic_tpu.content import cornell_box
+    from aic_tpu.content import atrium, cornell_box
+    from aic_tpu.content.testing import light_bench_space
     from aic_tpu.light import build_relight_ctx, evaluate_light_dense
     from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
     from aic_tpu.raytrace.tracer import trace_rays
 
-    size = 256
-    space = cornell_box(32)
-    state = space.snapshot()
-    n_cubes = int(np.prod(state.contents.shape))
+    extra = {}
 
-    # --- relight metrics (whole-volume dense kernel) --------------------
-    from aic_tpu.light import relight_all
+    # --- relight metrics (BASELINE config 2) -----------------------------
+    for name, space in (
+        ("cornell32", cornell_box(32)),
+        ("light_bench", light_bench_space()),
+    ):
+        state = space.snapshot()
+        n_cubes = int(np.prod(state.contents.shape))
+        ctx = build_relight_ctx(state)
+        warm, _ = evaluate_light_dense(state, max_passes=1, ctx=ctx)
+        _sync(warm.light)
+        t0 = time.perf_counter()
+        lit, passes = evaluate_light_dense(state, ctx=ctx)
+        _sync(lit.light)
+        dt = time.perf_counter() - t0
+        extra[f"relight_{name}_s"] = round(dt, 3)
+        extra[f"relight_{name}_passes"] = passes
+        extra[f"relight_{name}_cube_updates_per_s"] = round(n_cubes * passes / dt)
+        if name == "cornell32":
+            cornell_state = lit
 
-    ctx = build_relight_ctx(state)
-    warm, _ = relight_all(state, ctx)  # compile pass + apply
-    np.asarray(warm.light[0, 0, 0])
-    t0 = time.perf_counter()
-    state_lit, passes = evaluate_light_dense(state, ctx=ctx)
-    np.asarray(state_lit.light[0, 0, 0])
-    relight_dt = time.perf_counter() - t0
-    relight_rate = n_cubes * passes / relight_dt
-    state = state_lit
-
-    # --- headline: raytrace throughput ----------------------------------
-    options = GraphicsOptions(
+    # --- cornell 256² trace (BASELINE config 1) ---------------------------
+    opts = GraphicsOptions(
         lighting_display="smoothstep", fog="none", transparency="surface"
     )
-    camera = Camera(options, Viewport(size, size))
-    camera.look_at(np.array([0.5, 0.5, 1.6]) * 32, (16, 16, 16))
-    origins, directions = camera.pixel_rays()
+    cam = Camera(opts, Viewport(256, 256))
+    cam.look_at(np.array([0.5, 0.5, 1.6]) * 32, (16, 16, 16))
+    o, d = cam.pixel_rays()
+    dt = _time(lambda: trace_rays(cornell_state, o, d, opts)[0], n=10)
+    extra["raytrace_cornell256_mrays"] = round(256 * 256 / dt / 1e6, 3)
 
-    def frame():
-        light, trans = trace_rays(state, origins, directions, options)
-        return light
+    # --- headline: atrium 1080p (north star, BASELINE config 4) ----------
+    space = atrium()
+    state = space.snapshot()
+    state, _ = evaluate_light_dense(state)
+    w, h = 1920, 1080
+    cam = Camera(opts, Viewport(w, h))
+    sz = np.asarray(state.contents.shape, np.float64)
+    lo = np.asarray(state.lower, np.float64)
+    cam.look_at(lo + sz * np.array([0.5, 0.75, 0.9]), lo + sz / 2)
+    o, d = cam.pixel_rays()
+    dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=5)
+    mrays = w * h / dt / 1e6
+    extra["atrium_frame_ms"] = round(dt * 1e3, 1)
 
-    np.asarray(frame()[0, 0])  # compile + sync
-
-    n_frames = 20
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        out = frame()
-    np.asarray(out[0, 0])
-    dt = (time.perf_counter() - t0) / n_frames
-
-    mrays = size * size / dt / 1e6
     print(
         json.dumps(
             {
-                "metric": "raytrace_cornell256_smoothstep",
+                "metric": "raytrace_atrium1080p_smoothstep",
                 "value": round(mrays, 3),
                 "unit": "Mrays/sec",
                 "vs_baseline": round(mrays / 100.0, 4),
-                "extra": {
-                    "relight_full_convergence_s": round(relight_dt, 2),
-                    "relight_passes": passes,
-                    "relight_cube_updates_per_s": round(relight_rate),
-                    "scene": "cornell_box 32^3, 39k cubes",
-                },
+                "extra": extra,
             }
         )
     )

@@ -1,0 +1,473 @@
+"""Renderer conformance against the REFERENCE's own golden images.
+
+Ports scene cases from the reference's shared render-test suite
+(test-renderers/cases/src/lib.rs:43-155) and compares our frames against
+the reference CPU raytracer's checked-in goldens
+(/root/reference/test-renderers/expected/renderers/*-{ray,all}.png) with
+rendiff-style neighborhood-tolerant thresholds
+(test-renderers/types/src/comparison.rs:157-263).
+
+Camera conventions per the reference: COMMON_VIEWPORT 128x96
+(types/src/render.rs:134), GraphicsOptions::UNALTERED_COLORS (fov 90,
+fog none, clamp tone mapping, lighting None) unless a case overrides.
+
+Cases that don't yet meet their reference threshold are listed in
+KNOWN_DELTAS with their current measured difference so regressions and
+improvements are both visible.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.block import Atom, Block, BlockAttributes, Recur
+from aic_tpu.light import evaluate_light
+from aic_tpu.math.color import np_srgb8_to_linear
+from aic_tpu.math.grid import GridAab
+from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport, render
+from aic_tpu.space import Sky, Space, SpacePhysics
+from aic_tpu.testing.imagecmp import diff_images
+
+EXPECTED = "/root/reference/test-renderers/expected/renderers"
+
+#: Cases currently outside their reference threshold, with the measured
+#: state at recording time. Tracked, not hidden: each still asserts
+#: against a looser bound so further regressions fail.
+KNOWN_DELTAS: dict[str, str] = {}
+
+
+def _expected_image(name: str) -> np.ndarray | None:
+    from PIL import Image
+
+    for suffix in ("ray", "all"):
+        path = os.path.join(EXPECTED, f"{name}-{suffix}.png")
+        if os.path.exists(path):
+            return np.asarray(Image.open(path).convert("RGBA"))
+    return None
+
+
+def _allows(hist: np.ndarray, entries) -> bool:
+    """rendiff Threshold::allows: each (delta, count) entry caps the
+    number of pixels whose difference is >= delta; diffs below the
+    smallest delta are unlimited."""
+    for delta, count in entries:
+        if hist[delta:].sum() > count:
+            return False
+    return True
+
+
+def compare(name: str, rendering, threshold) -> None:
+    """threshold: int (no pixel may differ by more) or list of
+    (delta, max_count) entries."""
+    expected = _expected_image(name)
+    assert expected is not None, f"no reference golden for {name}"
+    img = rendering.data
+    assert img.shape == expected.shape, f"{img.shape} vs {expected.shape}"
+    stats = diff_images(img[..., :3], expected[..., :3])
+    hist = stats["histogram"]
+    if isinstance(threshold, int):
+        entries = [(threshold + 1, 0)]
+    else:
+        entries = threshold
+    ok = _allows(hist, entries)
+    msg = (
+        f"{name}: max_delta={stats['max_delta']} mean={stats['mean_delta']:.2f} "
+        f"differing(>0)={int(hist[1:].sum())}px of {img.shape[0]*img.shape[1]}"
+    )
+    if name in KNOWN_DELTAS:
+        # Known-delta cases assert only non-regression (2x the recorded
+        # mean), keeping the gap visible in the report.
+        assert stats["mean_delta"] <= 2.0 * float(KNOWN_DELTAS[name]) + 1.0, msg
+        pytest.xfail(f"known delta: {msg}")
+    assert ok, msg
+
+
+# --- camera / options helpers -------------------------------------------------
+
+VIEWPORT = Viewport(128, 96)
+
+
+def unaltered() -> GraphicsOptions:
+    return GraphicsOptions.unaltered_colors()
+
+
+def camera_for(space, eye, look, options, viewport=VIEWPORT) -> Camera:
+    cam = Camera(options, viewport)
+    eye = np.asarray(eye, np.float64)
+    cam.look_at(eye, eye + np.asarray(look, np.float64))
+    return cam
+
+
+def lin(r, g, b, a=1.0):
+    return (float(r), float(g), float(b), float(a))
+
+
+def srgb(r, g, b):
+    c = np_srgb8_to_linear(np.array([r, g, b]))
+    return (float(c[0]), float(c[1]), float(c[2]))
+
+
+def one_cube_space(fill=None) -> Space:
+    """cases/src/lib.rs one_cube_space: 1³ bounds, grey sky, green block."""
+    sp = Space(
+        GridAab.from_lower_size((0, 0, 0), (1, 1, 1)),
+        physics=SpacePhysics(sky=Sky.uniform((0.5, 0.5, 0.5))),
+    )
+    sp.set((0, 0, 0), fill or block.from_color(lin(0, 1, 0)))
+    return sp
+
+
+def render_case(space, eye, look, options, viewport=VIEWPORT, light=False):
+    st = space.snapshot()
+    if light:
+        st, _ = evaluate_light(st)
+    cam = camera_for(space, eye, look, options, viewport)
+    return render(st, cam)
+
+
+def render_state(st, eye, look, options, viewport=VIEWPORT):
+    cam = camera_for(None, eye, look, options, viewport)
+    return render(st, cam)
+
+
+# Lit scene states are cached across parametrized variants (light
+# evaluation is the expensive part of these cases).
+
+
+@functools.lru_cache(maxsize=None)
+def _lit_light_spread():
+    st = TestLightSpread()._space().snapshot()
+    st, _ = evaluate_light(st)
+    return st
+
+
+@functools.lru_cache(maxsize=None)
+def _lit_light_on_slab():
+    st = TestLightOnSlab()._space().snapshot()
+    st, _ = evaluate_light(st)
+    return st
+
+
+@functools.lru_cache(maxsize=None)
+def _lit_fog():
+    st = TestFog()._space().snapshot()
+    st, _ = evaluate_light(st)
+    return st
+
+
+# --- cases --------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["surf", "vol"])
+def test_transparent_one(variant):
+    """cases lib.rs transparent_one: half-alpha red cube over grey sky."""
+    sp = one_cube_space(Block(Atom(color=lin(1.0, 0.0, 0.0, 0.5))))
+    opts = GraphicsOptions.unaltered_colors()
+    opts = opts.__class__(
+        **{
+            **opts.__dict__,
+            "transparency": "surface" if variant == "surf" else "volumetric",
+        }
+    )
+    r = render_case(sp, [0.5, 0.5, 2.0], [0, 0, -1], opts)
+    compare(f"transparent_one-{variant}", r, 2)
+
+
+class TestFurnace:
+    """White-furnace test (lib.rs furnace): 100%-reflective blocks under a
+    uniform 0.75 sky must be invisible."""
+
+    def _space(self, alpha):
+        sp = Space(
+            GridAab.from_lower_size((-1, -1, -1), (3, 3, 3)),
+            physics=SpacePhysics(sky=Sky.uniform((0.75, 0.75, 0.75))),
+        )
+        white = Block(Atom(color=lin(1, 1, 1, alpha)))
+        sp.set((-1, -1, 1), white)
+        sp.set((1, -1, 0), white)
+        sp.set((-1, 1, -1), white)
+        return sp
+
+    @pytest.mark.parametrize("fog", ["Clear", "Foggy"])
+    @pytest.mark.parametrize("transp", ["Opaque", "Transparent"])
+    def test_furnace(self, fog, transp):
+        sp = self._space(1.0 if transp == "Opaque" else 0.5)
+        opts = GraphicsOptions(
+            fov_y=45.0,
+            bloom_intensity=0.0,
+            view_distance=10.0,
+            fog="none" if fog == "Clear" else "physical",
+            # GraphicsOptions::default(): smoothstep lighting, volumetric.
+            lighting_display="smoothstep",
+            transparency="volumetric",
+        )
+        r = render_case(sp, [-3.0, 4.0, 4.0], [1.0, -1.0, -1.0], opts, light=True)
+        compare(f"furnace-{fog}-{transp}", r, 1)
+
+
+def _light_test_options(lighting):
+    return GraphicsOptions(
+        fog="none",
+        fov_y=45.0,
+        tone_mapping="clamp",
+        exposure=1.0,
+        bloom_intensity=0.0,
+        lighting_display=lighting,
+        transparency="volumetric",
+    )
+
+
+LIGHTING_VARIANTS = ["None", "Flat", "Linear", "Smoothstep", "Coarse"]
+
+
+class TestLightSpread:
+    """lib.rs light_spread_test_universe: two lamps + pillar diagonal in
+    front of a grey back wall."""
+
+    def _space(self):
+        sp = Space(
+            GridAab.from_lower_size((-10, -10, -1), (20, 20, 5)),
+            physics=SpacePhysics(sky=Sky.uniform(srgb(243, 243, 255))),
+        )
+        # Back wall (NZ slab).
+        sp.fill(
+            GridAab.from_lower_size((-10, -10, -1), (20, 20, 1)),
+            block.from_color(lin(0.5, 0.5, 0.5)),
+        )
+        almost_black = block.from_color(srgb(0x3d, 0x3d, 0x3d))
+        lamp = Block(
+            Atom(color=lin(1.0, 0.05, 0.05, 1.0), emission=(10.0, 5.0, 0.0))
+        )
+        sp.set((-2, 2, 0), lamp)
+        sp.set((-3, -1, 1), lamp)
+        for i in range(-4, 5):
+            sp.set((i, i, 0), almost_black)
+        return sp
+
+    @pytest.mark.parametrize("lighting", LIGHTING_VARIANTS)
+    def test_light_spread(self, lighting):
+        opts = _light_test_options(lighting.lower())
+        r = render_state(_lit_light_spread(), [0.0, 0.0, 8.0], [0, 0, -1], opts)
+        compare(f"light_spread-{lighting}", r, 7)
+
+
+class TestLightOnSlab:
+    """lib.rs light_on_slab_test_universe: 16 checkerboard slabs of
+    increasing height, rotated RXZy, under default sky."""
+
+    def _slab(self, numerator, resolution=16):
+        plank = srgb(0xE8, 0xCC, 0x95)
+        plank2 = tuple(min(c * 1.06, 1.0) for c in plank)
+        r = resolution
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (r, numerator, r)))
+        b1 = block.from_color(lin(*plank))
+        b2 = block.from_color(lin(*plank2))
+        for x in range(r):
+            for y in range(numerator):
+                for z in range(r):
+                    vox.set((x, y, z), b1 if (x + y + z) % 2 == 0 else b2)
+        from aic_tpu.math.grid import rotation_from_name
+
+        blk = Block(Recur(space=vox, resolution=r))
+        return blk.rotate(rotation_from_name("RXZy"))
+
+    def _space(self):
+        sp = Space(
+            GridAab.from_lower_size((-10, -10, -1), (20, 20, 5)),
+            physics=SpacePhysics(sky=Sky.uniform(srgb(243, 243, 255))),
+        )
+        sp.fill(
+            GridAab.from_lower_size((-10, -10, -1), (20, 20, 1)),
+            block.from_color(lin(0.5, 0.5, 0.5)),
+        )
+        for height in range(1, 17):
+            position = height - 1
+            cube = (-3 + (position % 4) * 2, -3 + (position // 4) * 2, 0)
+            sp.set(cube, self._slab(height))
+        return sp
+
+    @pytest.mark.parametrize("lighting", LIGHTING_VARIANTS)
+    def test_light_on_slab(self, lighting):
+        opts = _light_test_options(lighting.lower())
+        r = render_state(
+            _lit_light_on_slab(), [0.5, -6.0, 6.0], [0.0, 1.0, -1.0], opts
+        )
+        compare(f"light_on_slab-{lighting}", r, 7)
+
+
+class TestFog:
+    """lib.rs fog_test_universe: floor, right wall, lamp-topped pillars
+    receding 60 cubes into the distance."""
+
+    def _space(self):
+        sp = Space(
+            GridAab.from_lower_upper((-30, 0, -60), (30, 20, 0)),
+            physics=SpacePhysics(sky=Sky.uniform(srgb(243, 243, 255))),
+        )
+        sp.fill(
+            GridAab.from_lower_upper((-30, 0, -60), (30, 1, 0)),
+            block.from_color(lin(0.0, 1.0, 0.5)),
+        )
+        sp.fill(
+            GridAab.from_lower_upper((29, 0, -60), (30, 20, 0)),
+            block.from_color(lin(1.0, 0.5, 0.5)),
+        )
+        pillar = block.from_color(srgb(0x3d, 0x3d, 0x3d))
+        lamp = Block(
+            Atom(color=lin(1.0, 0.05, 0.05, 1.0), emission=(40.0, 0.05, 0.05))
+        )
+        for z in range(-60, 0, 2):
+            x = (z * 19) % 60 - 30
+            sp.fill(GridAab.from_lower_size((x, 1, z), (1, 10, 1)), pillar)
+            sp.set((x, 8, z + 1), lamp)
+        return sp
+
+    @pytest.mark.parametrize("fog", ["None", "Abrupt", "Compromise", "Physical"])
+    def test_fog(self, fog):
+        del self
+        opts = GraphicsOptions(
+            fog=fog.lower(),
+            fov_y=90.0,
+            tone_mapping="clamp",
+            exposure=1.0,
+            bloom_intensity=0.0,
+            lighting_display="linear",
+            view_distance=50.0,
+            transparency="volumetric",
+        )
+        r = render_state(_lit_fog(), [0.0, 10.0, 0.0], [0.4, 0.0, -1.0], opts)
+        compare(f"fog-{fog}", r, [(2, 500), (15, 100)])
+
+
+def test_color_srgb_ramp():
+    """lib.rs color_srgb_ramp: every sRGB component value; catches output
+    color mapping errors exactly."""
+    sp = Space(
+        GridAab.from_lower_size((0, 0, 0), (32, 32, 1)),
+        physics=SpacePhysics(
+            sky=Sky.uniform(srgb(243, 243, 255)), light_enabled=False
+        ),
+    )
+    for i in range(256):
+        px, py = (i % 16) * 2, (i // 16) * 2
+        sp.set((px, py, 0), block.from_color(srgb(i, i, i)))
+        sp.set((px + 1, py, 0), block.from_color(srgb(i, 0, 0)))
+        sp.set((px + 1, py + 1, 0), block.from_color(srgb(0, i, 0)))
+        sp.set((px, py + 1, 0), block.from_color(srgb(0, 0, i)))
+    r = render_case(
+        sp,
+        [16.0, 16.0, 17.0],
+        [0, 0, -1],
+        GraphicsOptions.unaltered_colors(),
+        viewport=Viewport(128, 128),
+    )
+    compare("color_srgb_ramp", r, [(2, 15)])
+
+
+class TestEmission:
+    """lib.rs emission / emission_only / emission_semi."""
+
+    def test_emission(self):
+        white = block.from_color(lin(1, 1, 1))
+        e_and_r = Block(
+            Atom(color=srgb(200, 0, 0) + (1.0,), emission=srgb(0, 200, 0))
+        )
+        e_only = Block(Atom(color=lin(0, 0, 0, 1), emission=srgb(0, 200, 0)))
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (4, 4, 4)))
+        shape = ["....", ".E..", "..e.", "...."]  # y-flipped rows
+        # Every z layer repeats the z=0 pattern (voxels_fn sets p.z = 0).
+        for y in range(4):
+            for x in range(4):
+                ch = shape[3 - y][x]
+                b = {".": white, "E": e_and_r, "e": e_only}[ch]
+                for z in range(4):
+                    vox.set((x, y, z), b)
+        sp = one_cube_space(Block(Recur(space=vox, resolution=4)))
+        r = render_case(
+            sp, [0.5, 0.5, 2.0], [0, 0, -1], GraphicsOptions.unaltered_colors()
+        )
+        compare("emission", r, 1)
+
+    def _voxel_shape_space(self, atom):
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (2, 2, 2)))
+        for x in range(2):
+            for y in range(2):
+                for z in range(2):
+                    if x == 0 or y == 0 or z == 0:
+                        vox.set((x, y, z), atom)
+        voxel_block = Block(Recur(space=vox, resolution=2))
+        sp = Space(
+            GridAab.from_lower_upper((-1, 0, 0), (3, 1, 1)),
+            physics=SpacePhysics(sky=Sky.uniform(srgb(0, 0, 127))),
+        )
+        sp.set((-1, 0, 0), atom)
+        sp.set((1, 0, 0), voxel_block)
+        return sp
+
+    @pytest.mark.parametrize("variant", ["surf", "vol"])
+    def test_emission_only(self, variant):
+        atom = Block(Atom(color=(0, 0, 0, 0), emission=srgb(0, 200, 0)))
+        sp = self._voxel_shape_space(atom)
+        opts = GraphicsOptions.unaltered_colors()
+        opts = opts.__class__(
+            **{
+                **opts.__dict__,
+                "transparency": "surface" if variant == "surf" else "volumetric",
+            }
+        )
+        r = render_case(sp, [0.5, 0.5, 2.0], [0, 0, -1], opts)
+        compare(f"emission_only-{variant}", r, [(2, 1000), (5, 200), (15, 80)])
+
+    @pytest.mark.parametrize("variant", ["surf", "vol"])
+    def test_emission_semi(self, variant):
+        atom = Block(
+            Atom(color=(0.0, 0.0, 0.0, 1.0 - 2.0**-3), emission=srgb(0, 200, 0))
+        )
+        sp = self._voxel_shape_space(atom)
+        opts = GraphicsOptions.unaltered_colors()
+        opts = opts.__class__(
+            **{
+                **opts.__dict__,
+                "transparency": "surface" if variant == "surf" else "volumetric",
+            }
+        )
+        r = render_case(sp, [0.5, 0.5, 2.0], [0, 0, -1], opts)
+        compare(f"emission_semi-{variant}", r, [(2, 1000), (5, 200), (15, 80)])
+
+
+def test_template_cornell_box():
+    """template.rs cornell-box rendered with UNALTERED_COLORS (the
+    reference's template render test, seed 0, default size)."""
+    from aic_tpu.content import cornell_box
+
+    # Default size: GridSize::splat(30) → box_size 28 (template.rs:195,401).
+    sp = cornell_box(28)
+    r = render_case(
+        sp,
+        np.array([0.5, 0.5, 1.6]) * 28,
+        [0, 0, -1],
+        GraphicsOptions.unaltered_colors(),
+    )
+    compare(
+        "template-cornell-box",
+        r,
+        [(254, 20), (30, 50), (1, VIEWPORT.width * VIEWPORT.height)],
+    )
+
+
+def test_viewport_prime():
+    """Odd-sized viewport must render correctly (101x37)."""
+    sp = one_cube_space()
+    r = render_case(
+        sp,
+        [0.5, 0.5, 2.0],
+        [0, 0, -1],
+        GraphicsOptions.unaltered_colors(),
+        viewport=Viewport(101, 37),
+    )
+    compare("viewport_prime", r, 2)
