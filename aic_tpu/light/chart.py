@@ -39,6 +39,14 @@ def generate_directions() -> tuple[np.ndarray, np.ndarray]:
 
     Returns (directions f64[R,3] normalized, face_cosines f32[R,6]).
     generator.rs:53 `generate_light_ray_pattern`.
+
+    Precision contract: the reference normalizes in f32 (euclid
+    `Vector3D<f32>::normalize`) and only then widens to f64 for the
+    raycast (generator.rs:103 `direction.map(f64::from)`). Normalizing in
+    f64 instead changes the low bits of near-diagonal directions, which
+    flips t_max tie-breaks in the DDA and reroutes those rays one cube
+    off — visibly shifting light around diagonal geometry (the golden
+    light_spread pillar staircase). So: f32 all the way, then widen.
     """
     rng = range(-RAY_DIRECTION_STEP, RAY_DIRECTION_STEP + 1)
     dirs = []
@@ -46,10 +54,17 @@ def generate_directions() -> tuple[np.ndarray, np.ndarray]:
         for y in rng:
             for z in rng:
                 if max(abs(x), abs(y), abs(z)) == RAY_DIRECTION_STEP:
-                    v = np.array([x, y, z], np.float64)
-                    dirs.append(v / np.linalg.norm(v))
+                    v = np.array([x, y, z], np.float32)
+                    length = np.float32(
+                        np.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+                    )
+                    dirs.append((v / length).astype(np.float64))
     directions = np.stack(dirs)
-    cosines = np.maximum(directions @ np.asarray(faces.FACE_NORMALS, np.float64).T, 0.0)
+    # Cosines in f32 like generator.rs:72-75 (to_f32().dot(to_f32())).
+    cosines = np.maximum(
+        directions.astype(np.float32) @ np.asarray(faces.FACE_NORMALS, np.float32).T,
+        np.float32(0.0),
+    )
     return directions, cosines.astype(np.float32)
 
 

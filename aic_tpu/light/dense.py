@@ -295,7 +295,8 @@ def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
             size + (3,),
         )
         struck = interacting & (hit_alpha > 0.0)
-        light_struck = emission + fc[..., :3] * behind * hit_alpha[..., None]
+        # hit_surface_color.clamp() (updater.rs:802): reflectance ≤ 1.
+        light_struck = emission + jnp.clip(fc[..., :3], 0.0, 1.0) * behind * hit_alpha[..., None]
         contrib = jnp.where(
             struck[..., None], light_struck * (alpha * ray_w)[..., None], 0.0
         )

@@ -195,7 +195,9 @@ def relight_batch(state: SpaceState, cubes, valid):
         behind_pos = pos + jnp.take(face_normals, f_in, axis=0)[None, :, :]
         behind_light = _gather_light_rgb(state, behind_pos)  # [B,R,3]
         struck = interacting & (hit_alpha > 0.0)
-        light_struck = emission + fc[..., :3] * behind_light * hit_alpha[..., None]
+        # hit_surface_color.clamp() (updater.rs:802): reflectance is
+        # clamped to [0,1] so over-unity block colors cannot amplify light.
+        light_struck = emission + jnp.clip(fc[..., :3], 0.0, 1.0) * behind_light * hit_alpha[..., None]
         contrib = jnp.where(
             struck[..., None], light_struck * (alpha * ray_w)[..., None], 0.0
         )

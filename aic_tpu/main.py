@@ -117,6 +117,39 @@ def main(argv=None):
 
     if args.graphics == "print":
         print(ansi_image(r.data))
+    elif args.graphics == "record" and not args.output.endswith(".png"):
+        # Non-image outputs: export the scene itself (the reference's
+        # `--output` export dispatch, all-is-cubes-desktop/src/record.rs +
+        # port/src/lib.rs ExportFormat). glTF goes through the textured
+        # mesh path; --frames N animates stepped snapshots.
+        from .io import export_gltf, export_gltf_animation, export_stl, save_universe
+        from .io.vox import export_vox
+        from .mesh import mesh_space_textured, mesh_space_voxel_detail
+        from .universe import Universe
+
+        out = args.output
+        if out.endswith(".gltf"):
+            if args.frames > 1:
+                u = Universe()
+                u.insert_space("world", space)
+                u.states["world"] = state
+                frames = []
+                for _ in range(args.frames):
+                    frames.append(mesh_space_textured(space))
+                    u.step()
+                export_gltf_animation(frames, out)
+            else:
+                export_gltf(mesh_space_textured(space), out)
+        elif out.endswith(".stl"):
+            export_stl(mesh_space_voxel_detail(space), out)
+        elif out.endswith(".vox"):
+            export_vox(space, out)
+        else:
+            u = Universe()
+            u.insert_space("world", space)
+            u.states["world"] = state
+            save_universe(u, out)
+        print(f"wrote {out}", file=sys.stderr)
     elif args.graphics == "record":
         if args.frames == 1:
             save_png(r, args.output)

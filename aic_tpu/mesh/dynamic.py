@@ -107,10 +107,16 @@ class ChunkedSpaceMesh:
         rel_view = np.asarray(view_position, np.float64) - np.asarray(
             self.space.bounds.lower, np.float64
         )
-        view_chunk = rel_view / self.chunk_size - 0.5
+        view_chunk = np.asarray(
+            chunking.point_to_chunk(rel_view, self.chunk_size), np.int64
+        )
 
         def dist(c):
-            return float(((np.asarray(c) - view_chunk) ** 2).sum())
+            # ChunkChart's Distance order (chunking.rs:434 depth_sort_key):
+            # nearest-approach², then off-plane count, then coordinates.
+            off = np.asarray(c, np.int64) - view_chunk
+            nearest_sq, off_plane = chunking.chunk_distance_squared_for_view(off)
+            return (int(nearest_sq), int(off_plane), tuple(off))
 
         order = sorted(self.dirty, key=dist)[:budget_chunks]
         # Face visibility computed once per update (vectorized whole-space

@@ -53,6 +53,11 @@ class SpaceMesh:
     indices: np.ndarray  # u32[T*3]
     opaque_range: tuple[int, int] = (0, 0)
     transparent_range: tuple[int, int] = (0, 0)
+    #: Optional texture path (mesh/atlas.py): normalized atlas UVs per
+    #: vertex + the packed RGBA atlas image. Untextured vertices point at
+    #: the atlas's white texel so COLOR_0 × texture composes.
+    uvs: np.ndarray | None = None  # f32[V,2]
+    texture: np.ndarray | None = None  # u8[H,W,4]
 
     @property
     def triangle_count(self) -> int:
@@ -449,4 +454,85 @@ def mesh_space_voxel_detail(space: Space, style: str = "no_t_junction") -> Space
         ),
         opaque_range=ranges[True],
         transparent_range=ranges[False],
+    )
+
+
+def mesh_space_textured(space: Space, style: str = "no_t_junction") -> SpaceMesh:
+    """mesh_space_voxel_detail with the texture-atlas path for recursive
+    blocks (texture.rs:38 role; see mesh/atlas.py).
+
+    Atoms mesh at block granularity with vertex colors (their UVs point
+    at the atlas's white texel); every resolution-R block is meshed once
+    via `block_mesh_textured` (merged rects + texel planes) and instanced
+    per placement. Returns a SpaceMesh carrying `uvs` and `texture`.
+    """
+    from .atlas import PlaneAtlas, block_mesh_textured, resolve_uvs, white_uv
+
+    atlas = PlaneAtlas()
+    detail_ids = [
+        i for i in range(space.palette_len()) if space.evaluated(i).resolution > 1
+    ]
+    vis = visible_faces(space)
+    for i in detail_ids:
+        vis &= space.contents[None, ...] != i
+    ev_face_colors = np.stack(
+        [space.evaluated(i).face_colors for i in range(space.palette_len())]
+    )
+    lower = np.asarray(space.bounds.lower, np.float32)
+    if style == "no_t_junction":
+        base = _mesh_arrays_triangulated(space.contents, vis, ev_face_colors, lower)
+    else:
+        base = _mesh_arrays(space.contents, vis, ev_face_colors, lower, style == "greedy")
+
+    tex_blocks = {i: block_mesh_textured(space.evaluated(i), atlas) for i in detail_ids}
+
+    # Assemble: base (white UVs) + textured instances, opaque-first.
+    pieces = []  # (positions, colors, uv_texels|None, plane_ids|None, indices, oR, tR)
+    pieces.append(
+        (base.positions, base.colors, None, None, base.indices,
+         base.opaque_range, base.transparent_range)
+    )
+    for i in detail_ids:
+        pos, col, uv, idx, pid, o_r, t_r = tex_blocks[i]
+        if len(idx) == 0:
+            continue
+        for rel in np.argwhere(space.contents == i):
+            world = rel.astype(np.float32) + lower
+            pieces.append((pos + world, col, uv, pid, idx, o_r, t_r))
+
+    image, origins, _white = atlas.pack()
+    wuv = white_uv(image.shape)
+
+    positions = np.concatenate([p[0] for p in pieces])
+    colors = np.concatenate([p[1] for p in pieces])
+    uvs = np.concatenate(
+        [
+            np.broadcast_to(wuv, (len(p[0]), 2)).astype(np.float32)
+            if p[2] is None
+            else resolve_uvs(p[2], p[3], origins, image.shape)
+            for p in pieces
+        ]
+    )
+    offs = np.cumsum([0] + [len(p[0]) for p in pieces[:-1]])
+    indices, ranges, cursor = [], {}, 0
+    for opq in (True, False):
+        start = cursor
+        for p, off in zip(pieces, offs):
+            lo, hi = p[5] if opq else p[6]
+            if hi > lo:
+                indices.append(p[4][lo:hi] + np.uint32(off))
+                cursor += hi - lo
+        ranges[opq] = (start, cursor)
+    return SpaceMesh(
+        positions=positions,
+        colors=colors,
+        indices=(
+            np.concatenate(indices).astype(np.uint32)
+            if indices
+            else np.zeros((0,), np.uint32)
+        ),
+        opaque_range=ranges[True],
+        transparent_range=ranges[False],
+        uvs=uvs,
+        texture=image,
     )

@@ -92,8 +92,11 @@ def _fetch_light_texel(state: SpaceState, cube):
         [sky_rgb, jnp.ones(sky_rgb.shape[:-1] + (1,), jnp.float32)], axis=-1
     )
     outside_val = jnp.where(touching[..., None], sky_val, jnp.zeros_like(sky_val))
+    # light_outside (sky.rs:129-146): face-adjacent OOB texels carry the
+    # sky face (Visible → valid); edge/corner/far OOB are NO_RAYS, which
+    # is invalid (data.rs:127) — they trigger the diagonal leak fix.
     valid = jnp.where(
-        outside_any, True, texel[..., 3] == lightpack.STATUS_VISIBLE
+        outside_any, touching, texel[..., 3] == lightpack.STATUS_VISIBLE
     )
     return jnp.where(outside_any[..., None], outside_val, stored), valid
 
@@ -102,15 +105,12 @@ def _interp_modifier(mix, mode: str):
     if mode == LIGHT_SMOOTHSTEP:
         return mix * mix * (3.0 - 2.0 * mix)
     if mode == LIGHT_COARSE:
-        return jnp.zeros_like(mix)
+        # coarsestep (surface.rs:514-518): 4-level quantizer, clamped so
+        # coarsestep(1.0) == coarsestep(0.999).
+        return (jnp.clip(jnp.floor(mix * 4.0), 0.0, 3.0) + 0.5) / 4.0
     return mix
 
 
-# Pseudo-status for padded texels outside the bounds that are NOT adjacent
-# to exactly one face: value 0, AO-weight 0, but *valid* for the purposes
-# of the diagonal light-leak check (matching _fetch_light_texel's OOB
-# semantics / BlockSky::light_outside, sky.rs:96).
-_STATUS_OUTSIDE_ZERO = 254
 
 #: Maximum volume (cubes) for which the per-(cube, face) interpolation-row
 #: table is built: 432 B/cube; above this the tracer falls back to
@@ -130,11 +130,13 @@ def _build_interp_rows(state: SpaceState):
 
     Out-of-bounds texels follow BlockSky::light_outside: face slabs carry
     the (already quantized) sky face value with VISIBLE status; edges and
-    corners carry _STATUS_OUTSIDE_ZERO.
+    corners are NO_RAYS (sky.rs:145).
     """
     size = state.light.shape[:3]
     pad = jnp.zeros((size[0] + 2, size[1] + 2, size[2] + 2, 4), jnp.uint8)
-    pad = pad.at[..., 3].set(_STATUS_OUTSIDE_ZERO)
+    # Edge/corner/far OOB texels are NO_RAYS (light_outside, sky.rs:145):
+    # value 0, AO-weight 0, invalid → they trigger the diagonal leak fix.
+    pad = pad.at[..., 3].set(lightpack.STATUS_NO_RAYS)
     inner = tuple(slice(1, 1 + size[a]) for a in range(3))
     pad = pad.at[inner[0], inner[1], inner[2]].set(state.light)
     sky_texels = lightpack.encode_rgb(state.sky_faces)  # [6,4]
@@ -176,8 +178,8 @@ def _onehot_matmul(idx, table):
 
 
 def _decode_row_texel(texel):
-    """u8[...,4] packed texel (+padding pseudo-status) → (rgbw f32[...,4],
-    valid bool[...]) matching _fetch_light_texel's semantics."""
+    """u8[...,4] packed texel → (rgbw f32[...,4], valid bool[...])
+    matching _fetch_light_texel's semantics."""
     rgb = lightpack.decode_scalar(texel[..., :3])
     status = texel[..., 3].astype(jnp.int32)
     weight = jnp.where(
@@ -185,7 +187,7 @@ def _decode_row_texel(texel):
         1.0,
         jnp.where(status == lightpack.STATUS_OPAQUE, 0.25, 0.0),
     )
-    valid = (status == lightpack.STATUS_VISIBLE) | (status == _STATUS_OUTSIDE_ZERO)
+    valid = status == lightpack.STATUS_VISIBLE
     return jnp.concatenate([rgb, weight[..., None]], axis=-1), valid
 
 

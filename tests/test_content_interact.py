@@ -103,9 +103,11 @@ class TestCursor:
 
 class TestChunking:
     def test_chart_sorted_near_to_far(self):
+        from aic_tpu.math.chunking import chunk_distance_squared_for_view
+
         chart = chunk_chart(3.0)
-        d2 = (chart.astype(int) ** 2).sum(-1)
-        assert (np.diff(d2) >= 0).all()
+        nearest_sq, _ = chunk_distance_squared_for_view(chart)
+        assert (np.diff(nearest_sq) >= 0).all()
         assert tuple(chart[0]) == (0, 0, 0)
 
     def test_chunks_near(self):

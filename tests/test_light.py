@@ -263,3 +263,27 @@ class TestDenseRelight:
         assert np.array_equal(single[..., 3], sharded[..., 3])
         # f32 summation order differs across shards; allow 1 packed step.
         assert np.abs(single[..., :3].astype(int) - sharded[..., :3].astype(int)).max() <= 1
+
+
+def test_reflectance_is_clamped():
+    """light/tests.rs:303 reflectance_is_clamped: a cube between two
+    over-unity-red reflectors must not exceed the sky's red level."""
+    import numpy as np
+
+    from aic_tpu import block
+    from aic_tpu.light import evaluate_light
+    from aic_tpu.math import lightpack
+    from aic_tpu.math.grid import GridAab
+    from aic_tpu.space import Sky, Space, SpacePhysics
+
+    sp = Space(
+        GridAab.from_lower_size((0, 0, 0), (5, 3, 3)),
+        physics=SpacePhysics(sky=Sky.uniform((0.5, 0.5, 0.5))),
+    )
+    over_unity = block.from_color((16.0, 1.0, 0.0, 1.0))
+    sp.set((1, 1, 1), over_unity)
+    sp.set((3, 1, 1), over_unity)
+    st, _ = evaluate_light(sp.snapshot())
+    texel = np.asarray(st.light)[2, 1, 1]
+    red = float(lightpack.np_decode_scalar(np.array(texel[0])))
+    assert red <= 0.5 + 1e-3, red
