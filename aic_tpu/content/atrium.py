@@ -76,21 +76,72 @@ def _atrium_blocks(resolution: int = 16) -> dict:
             elif d == r // 4 + 1 and (x == c or z == c):
                 sp.set((x, y, z), iron)
 
+    def paint_banner(color):
+        cloth = Block(Atom(color=color + (1.0,)))
+
+        def paint(sp):
+            for x, y, z in sp.bounds.interior_iter():
+                # A hanging cloth: thin in z, swallow-tail bottom edge.
+                if z != r // 2:
+                    continue
+                tail = abs(x - (r - 1) / 2) * 2 / r  # 0 center → 1 edge
+                if y >= int(tail * r * 0.4):
+                    sp.set((x, y, z), cloth)
+
+        return paint
+
+    def paint_firepot(sp):
+        flame = Block(
+            Atom(color=(1.0, 0.8, 0.4, 1.0), emission=(16.0, 9.0, 2.0)),
+            BlockAttributes(display_name="fire"),
+        )
+        pot = from_color(_lin(60, 50, 45), "firepot")
+        c = (r - 1) / 2
+        for x, y, z in sp.bounds.interior_iter():
+            d = max(abs(x - c), abs(z - c))
+            if y < r // 3 and d <= r * 0.35:
+                sp.set((x, y, z), pot)
+            elif r // 3 <= y < r * 2 // 3 and d <= r * 0.2:
+                sp.set((x, y, z), flame)
+
+    banners = {
+        name: voxel_block(f"banner-{name}", r, paint_banner(rgb))
+        for name, rgb in (
+            ("red", (0.8, 0.1, 0.1)),
+            ("green", (0.1, 0.6, 0.2)),
+            ("blue", (0.1, 0.2, 0.8)),
+        )
+    }
+
     return {
         "column": voxel_block("column", r, paint_column),
         "arch": voxel_block("arch", r, paint_arch),
         "balustrade": voxel_block("balustrade", r, paint_balustrade),
         "floor": voxel_block("atrium-floor", r, paint_floor),
         "lamp": voxel_block("atrium-lamp", r, paint_lamp),
+        "firepot": voxel_block("firepot", r, paint_firepot),
         "wall": from_color(_lin(217, 205, 178), "plaster"),
         "roof": from_color(_lin(140, 77, 52), "roof-tile"),
+        # Sun block (atrium/blocks.rs:265-273): white with emission
+        # 40·(1, 1, 0.9843) — the "directional" skylight strip.
+        "sun": Block(
+            Atom(color=(1.0, 1.0, 1.0, 1.0), emission=(40.0, 40.0, 39.372)),
+            BlockAttributes(display_name="sun"),
+        ),
+        **banners,
     }
 
 
-def atrium(seed: int = 0, width: int = 60, depth: int = 40, floors: int = 3) -> Space:
+def atrium(seed: int = 0, width: int = 60, depth: int = 40, floors: int = 4) -> Space:
+    """Full-scale atrium (atrium/mod.rs:40-46 proportions: FLOOR_COUNT=4,
+    CEILING_HEIGHT=6, SUN_HEIGHT=10): four arcade floors, a sun strip
+    under the open sky (the reference's directional skylight,
+    mod.rs:117-127), hanging banners on the balustrades (mod.rs:403-416
+    role) and firepots on the courtyard floor."""
     blocks = _atrium_blocks(16)
     floor_h = 6
-    height = floors * floor_h + 3
+    sun_height = 10
+    height = floors * floor_h + sun_height
     bounds = GridAab.from_lower_size((0, -1, 0), (width, height + 1, depth))
     space = Space(
         bounds,
@@ -156,12 +207,45 @@ def atrium(seed: int = 0, width: int = 60, depth: int = 40, floors: int = 3) -> 
             space.set((x, y0 + floor_h - 2, 2), blocks["lamp"])
             space.set((x, y0 + floor_h - 2, depth - 3), blocks["lamp"])
 
+    # Banners hanging from the courtyard balustrades (every other bay).
+    cx0, _, cz0 = court.lower
+    cx1, _, cz1 = court.upper
+    banner_names = ["red", "green", "blue"]
+    bi = 0
+    for f in range(1, floors):
+        y0 = f * floor_h
+        for x in range(cx0 + 1, cx1 - 1, 8):
+            space.set((x, y0 - 1, cz0 - 1), blocks[banner_names[bi % 3]])
+            space.set((x, y0 - 1, cz1), blocks[banner_names[(bi + 1) % 3]])
+            bi += 1
+
+    # Firepots on the courtyard floor corners.
+    for x, z in (
+        (cx0 + 2, cz0 + 2),
+        (cx1 - 3, cz0 + 2),
+        (cx0 + 2, cz1 - 3),
+        (cx1 - 3, cz1 - 3),
+    ):
+        space.set((x, 0, z), blocks["firepot"])
+
+    # Sun strip: a band of emissive sun blocks just under the top of the
+    # bounds over the courtyard (mod.rs:117-127 fill abutting PY).
+    sun_y = height - 2
+    space.fill(
+        GridAab.from_lower_size(
+            (court.lower[0] + 2, sun_y, court.lower[2] + 2),
+            (max(court.size[0] - 4, 1), 1, max(min(court.size[2] - 4, 6), 1)),
+        ),
+        blocks["sun"],
+    )
+
     # Roof ring over the galleries (courtyard open to the sky).
-    roof = GridAab.from_lower_size((0, height - 1, 0), (width, 1, depth))
+    roof_y = floors * floor_h
+    roof = GridAab.from_lower_size((0, roof_y, 0), (width, 1, depth))
     space.fill(roof, blocks["roof"])
     space.fill(
         GridAab.from_lower_size(
-            (court.lower[0], height - 1, court.lower[2]),
+            (court.lower[0], roof_y, court.lower[2]),
             (court.size[0], 1, court.size[2]),
         ),
         AIR,

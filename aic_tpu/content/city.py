@@ -102,6 +102,18 @@ def demo_city(seed: int = 0, size: int = 96, height: int = 24) -> Space:
         ).intersection(bounds)
         space.fill(canopy, blocks["leaves"])
 
+    # Exhibits gallery along the +Z road (city.rs exhibits placement):
+    # each exhibit sits on a pedestal with a voxel-text name sign.
+    from .exhibits import EXHIBITS, place_exhibit
+
+    ex_x = -half + 6
+    for exhibit in EXHIBITS:
+        sp_size = exhibit.factory().bounds.size
+        if ex_x + sp_size[0] >= half - 2:
+            break
+        place_exhibit(space, exhibit, (ex_x, 1, 7), blocks["stone"])
+        ex_x += sp_size[0] + 4
+
     # One ticking "traffic light" block cycling colors via tick_action
     # (exercises execute_tick_actions_system every step).
     from ..block import from_color

@@ -133,3 +133,34 @@ class TestSession:
         assert steps >= 1
         r = s.render()
         assert r.data.shape == (16, 16, 4)
+
+
+class TestExhibits:
+    def test_all_exhibits_build_and_render(self):
+        import numpy as np
+
+        from aic_tpu.content.exhibits import EXHIBITS
+        from aic_tpu.light import evaluate_light
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport, render
+
+        for e in EXHIBITS:
+            sp = e.factory()
+            assert (sp.contents != 0).any(), e.name
+            st, _ = evaluate_light(sp.snapshot())
+            opts = GraphicsOptions(lighting_display="flat", fog="none")
+            cam = Camera(opts, Viewport(48, 32))
+            lo = np.asarray(sp.bounds.lower, float)
+            size = np.asarray(sp.bounds.size, float)
+            cam.look_at(lo + size * [0.5, 1.2, 2.2], lo + size / 2)
+            r = render(st, cam)
+            assert r.data[..., :3].std() > 1.0, e.name  # not a blank frame
+
+    def test_demo_city_contains_exhibits(self):
+        from aic_tpu.content import demo_city
+
+        sp = demo_city(seed=1, size=64)
+        names = {
+            getattr(sp.palette[i].primitive, "text", None)
+            for i in range(sp.palette_len())
+        }
+        assert "Transparency" in names  # first exhibit's sign tiles exist
