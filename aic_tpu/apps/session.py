@@ -89,6 +89,9 @@ class Session:
         self.options = options or GraphicsOptions()
         self.camera = Camera(self.options, viewport)
         self.info_text: str = ""
+        from ..vui.notification import NotificationHub
+
+        self.notifications = NotificationHub()
 
     @property
     def character(self):
@@ -200,6 +203,13 @@ class Session:
 
     # ---- UI layer (reference: ui/src/vui, Layers<Camera> world+ui) -------
 
+    def show_notification(self, title: str, fraction: float = 0.0, part: str = ""):
+        """Session::show_notification (ui_content/notification.rs): create
+        a live notification handle shown in the HUD until dropped."""
+        from ..vui.notification import ProgressContent
+
+        return self.notifications.show(ProgressContent(title, fraction, part))
+
     def enable_ui(self, inventory=None):
         """Attach the voxel-UI HUD layer (vui_manager.rs HudLayout)."""
         from ..universe.cursor import free_editing_inventory
@@ -221,7 +231,28 @@ class Session:
         tx = w["tx"]
         w["toolbar"].draw(self.ui_space, (tx, 0, 0))
         w["tooltip"].draw(self.ui_space, (tx, 1, 0))
+        self._draw_notification()
         self.ui_state = self.ui_space.snapshot()
+
+    def _draw_notification(self):
+        """Draw/clear the primary notification as a progress bar + title
+        near the top of the HUD (the Hub primary content display)."""
+        from .. import block as _block
+        from ..vui.widgets import ProgressBar, text_blocks
+
+        sp = self.ui_space
+        width = sp.bounds.size[0]
+        y = sp.bounds.size[1] - 2
+        for x in range(width):
+            sp.set((x, y, 0), _block.AIR)
+        content = self.notifications.primary()
+        if content is None:
+            return
+        bar = ProgressBar(fraction=content.fraction, width=6)
+        bar.draw(sp, (1, y, 0))
+        label = content.title if not content.part else f"{content.title}: {content.part}"
+        for i, b in enumerate(text_blocks(label)[: width - 9]):
+            sp.set((8 + i, y, 0), b)
 
     def click(self, x_px: float, y_px: float, button: int = 0):
         """Dispatch a click at viewport pixel coords: UI layer first (the

@@ -380,7 +380,65 @@ def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, dept
         return attributes, _zoom(voxels, modifier)
     if isinstance(modifier, model.Move):
         return attributes, _move(voxels, modifier)
+    if isinstance(modifier, model.InventoryModifier):
+        return attributes, _render_inventory(
+            modifier, attributes, voxels, budget, depth
+        )
     raise TypeError(f"unknown modifier {modifier!r}")
+
+
+def _render_inventory(
+    modifier, attributes, voxels: Evoxels, budget: _Budget, depth: int
+) -> Evoxels:
+    """Modifier::Inventory rendering (block/modifier/mod.rs:748
+    render_inventory): for each configured icon position, evaluate the
+    slot's icon block, downsample it to the configured icon size by
+    center-sampling (mod.rs:799-820 resample), place it at the position,
+    and composite the icon layer OVER the block's own voxels."""
+    config = attributes.inventory or model.INV_IN_BLOCK_EMPTY
+    if config.inventory_size == 0 or not config.icon_rows:
+        return voxels
+    rr = config.render_resolution
+    icon_size = config.icon_size_in_resolution()
+
+    layer = Evoxels.air(rr)
+    placed_any = False
+    for slot, lower in config.icon_positions(len(modifier.icons)):
+        icon = modifier.icons[slot]
+        if icon is None:
+            continue
+        icon_ev = _evaluate_impl(icon, budget, depth + 1)
+        iv = icon_ev.voxels
+        scale = max(iv.resolution // icon_size, 1)
+        # Nearest (center) downsample: sample voxel centers at stride
+        # `scale` with a half-stride offset.
+        idx = np.minimum(
+            np.arange(icon_size) * scale + scale // 2, iv.resolution - 1
+        )
+        small_c = iv.color[np.ix_(idx, idx, idx)]
+        small_e = iv.emission[np.ix_(idx, idx, idx)]
+        # Clip the placement to the block bounds.
+        lo = np.asarray(lower)
+        src_lo = np.maximum(-lo, 0)
+        dst_lo = np.maximum(lo, 0)
+        span = np.minimum(lo + icon_size, rr) - dst_lo
+        if (span <= 0).any():
+            continue
+        sl_src = tuple(slice(src_lo[a], src_lo[a] + span[a]) for a in range(3))
+        sl_dst = tuple(slice(dst_lo[a], dst_lo[a] + span[a]) for a in range(3))
+        layer.color[sl_dst] = small_c[sl_src]
+        layer.emission[sl_dst] = small_e[sl_src]
+        placed_any = True
+    if not placed_any:
+        return voxels
+    layer = Evoxels(
+        resolution=rr,
+        color=layer.color,
+        emission=layer.emission,
+        selectable=np.zeros((rr, rr, rr), bool),
+        collision=np.full((rr, rr, rr), COLLISION_NONE, np.uint8),
+    )
+    return _composite(layer, voxels, "over")
 
 
 def _unify_resolution(a: Evoxels, b: Evoxels):

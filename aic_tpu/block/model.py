@@ -50,6 +50,9 @@ class BlockAttributes:
     rotation_rule: str = "never"  # "never" | "attach"
     #: Tags attached via the Tag modifier (tag.rs) — matched by Operations.
     tags: tuple = ()
+    #: How an attached Inventory modifier renders inside the block
+    #: (inv/inv_in_block.rs InvInBlock); EMPTY → inventory invisible.
+    inventory: "InvInBlock" = None  # default set after InvInBlock defined
 
 
 DEFAULT_ATTRIBUTES = BlockAttributes()
@@ -115,8 +118,78 @@ class TextPrimitive(Primitive):
     depth: int = 1  # voxel thickness of the glyph slab
 
 
+@dataclass(frozen=True)
+class IconRow:
+    """Positioning of one row of inventory icons (inv_in_block.rs:59)."""
+
+    first_slot: int
+    count: int
+    origin: tuple[int, int, int]
+    stride: tuple[int, int, int]
+
+
+@dataclass(frozen=True)
+class InvInBlock:
+    """Configuration for rendering a block's inventory inside the block
+    (inv/inv_in_block.rs:37): slot count, icon scale-down factor, the
+    resolution icon positions are expressed in, and the icon rows."""
+
+    inventory_size: int = 0
+    icon_scale: int = 1
+    render_resolution: int = 1
+    icon_rows: tuple[IconRow, ...] = ()
+
+    def icon_size_in_resolution(self) -> int:
+        return max(self.render_resolution // self.icon_scale, 1)
+
+    def icon_positions(self, inventory_size: int):
+        """Yield (slot_index, lower_bounds (3,)) for visible icons
+        (inv_in_block.rs:176-219); bounds outside the block are skipped."""
+        size = self.icon_size_in_resolution()
+        rr = self.render_resolution
+        for row in self.icon_rows:
+            for sub in range(row.count):
+                slot = row.first_slot + sub
+                if slot >= inventory_size:
+                    break
+                lower = tuple(
+                    row.origin[a] + row.stride[a] * sub for a in range(3)
+                )
+                if all(lower[a] + size > 0 and lower[a] < rr for a in range(3)):
+                    yield slot, lower
+
+    @staticmethod
+    def default_for_size(inventory_size: int) -> "InvInBlock":
+        """A row of up to 4 quarter-scale icons along the block's front
+        bottom edge (the reference demo configuration's shape)."""
+        return InvInBlock(
+            inventory_size=inventory_size,
+            icon_scale=4,
+            render_resolution=16,
+            icon_rows=(
+                IconRow(first_slot=0, count=4, origin=(0, 0, 12), stride=(4, 0, 0)),
+            ),
+        )
+
+
+INV_IN_BLOCK_EMPTY = InvInBlock()
+
+
 class Modifier:
     """Marker base class for block modifiers (block/modifier/mod.rs:71)."""
+
+
+@dataclass(frozen=True)
+class InventoryModifier(Modifier):
+    """Attach an inventory to a block (block/modifier/mod.rs:106
+    Modifier::Inventory). `icons` holds the icon Block of each occupied
+    slot (None = empty slot); rendering follows the block's
+    `attributes.inventory` InvInBlock configuration."""
+
+    icons: tuple = ()
+
+    def __hash__(self):
+        return hash(tuple(id(i) for i in self.icons))
 
 
 @dataclass(frozen=True)

@@ -290,3 +290,23 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
     elif isinstance(tool, Activate) or button == 1:
         universe.fluff_buffer.append(Fluff("Activate", cursor.cube))
     return True
+
+
+def tool_icon(tool) -> "Block | None":
+    """Icon block of a tool slot (inv/tool.rs icon()): PlaceBlock shows
+    its block; other tools have no intrinsic block icon (the reference's
+    icon_only_if_intrinsic, inv_in_block usage at modifier/mod.rs:766)."""
+    if isinstance(tool, Stack):
+        return tool_icon(tool.tool) if tool.count > 0 else None
+    if isinstance(tool, PlaceBlock):
+        return tool.block
+    return None
+
+
+def inventory_modifier(inventory: "Inventory"):
+    """Build the block Modifier rendering `inventory` inside a block
+    (Modifier::Inventory, block/modifier/mod.rs:106): slots map to their
+    tools' icon blocks."""
+    from ..block import InventoryModifier
+
+    return InventoryModifier(icons=tuple(tool_icon(s) for s in inventory.slots))

@@ -181,3 +181,65 @@ class TestSky:
         np.testing.assert_allclose(sky.sample([1, 1, 1]), [1, 1, 1])
         np.testing.assert_allclose(sky.sample([-1, 1, 1]), [0, 0, 0])
         assert sky.mean()[0] == pytest.approx(1 / 8)
+
+
+class TestInventoryModifier:
+    """Modifier::Inventory + InvInBlock rendering (inv/inv_in_block.rs,
+    block/modifier/mod.rs:748 render_inventory)."""
+
+    def _chest(self):
+        from aic_tpu.block import InvInBlock, from_color
+
+        return from_color((0.5, 0.3, 0.1, 1.0), "chest").with_attributes(
+            inventory=InvInBlock.default_for_size(4)
+        )
+
+    def test_icons_render_into_voxels(self):
+        from aic_tpu.block import InventoryModifier, evaluate, from_color
+
+        apple = from_color((1.0, 0.1, 0.1, 1.0), "apple")
+        gem = from_color((0.2, 0.9, 1.0, 1.0), "gem")
+        ev = evaluate(
+            self._chest().with_modifier(InventoryModifier(icons=(apple, None, gem)))
+        )
+        assert ev.resolution == 16
+        c = ev.voxels.color
+        assert c[1, 1, 13][0] > 0.9  # slot 0: apple red
+        assert c[9, 1, 13][2] > 0.9  # slot 2: gem blue
+        assert abs(c[5, 1, 13][0] - 0.5) < 0.05  # slot 1 empty: chest body
+
+    def test_empty_inventory_changes_nothing(self):
+        from aic_tpu.block import InventoryModifier, evaluate
+
+        plain = evaluate(self._chest())
+        with_empty = evaluate(
+            self._chest().with_modifier(InventoryModifier(icons=(None, None)))
+        )
+        import numpy as np
+
+        np.testing.assert_array_equal(plain.voxels.color, with_empty.voxels.color)
+
+    def test_icon_positions_clip_to_block(self):
+        from aic_tpu.block import IconRow, InvInBlock
+
+        cfg = InvInBlock(
+            inventory_size=8,
+            icon_scale=4,
+            render_resolution=16,
+            icon_rows=(IconRow(first_slot=0, count=8, origin=(0, 0, 12), stride=(4, 0, 0)),),
+        )
+        pos = list(cfg.icon_positions(8))
+        # Only 4 icons fit across the block; the rest fall outside.
+        assert len(pos) == 4
+        assert pos[0] == (0, (0, 0, 12))
+
+    def test_inventory_modifier_from_universe_inventory(self):
+        from aic_tpu.block import InventoryModifier, from_color
+        from aic_tpu.universe.cursor import Inventory, PlaceBlock, Stack, inventory_modifier
+
+        blk = from_color((0, 1, 0, 1), "item")
+        inv = Inventory(slots=[Stack(PlaceBlock(blk), 3), None])
+        mod = inventory_modifier(inv)
+        assert isinstance(mod, InventoryModifier)
+        assert mod.icons[0] is blk
+        assert mod.icons[1] is None

@@ -172,3 +172,59 @@ class TestUiClicks:
         # Click the center pixel (no UI enabled → straight to world).
         result = s.click(48, 36)
         assert result in (True, False)  # dispatched without error
+
+
+class TestNotifications:
+    """Notification channel (ui_content/notification.rs) + HUD display."""
+
+    def test_hub_lifecycle(self):
+        import gc
+
+        from aic_tpu.vui.notification import NotificationHub, ProgressContent
+
+        hub = NotificationHub()
+        n = hub.show(ProgressContent("Loading", 0.25))
+        assert hub.count() == 1
+        assert hub.primary().title == "Loading"
+        n.set_content(ProgressContent("Loading", 0.9, "almost"))
+        assert hub.primary().fraction == 0.9
+        del n
+        gc.collect()
+        assert hub.count() == 0
+        assert hub.primary() is None
+
+    def test_dismiss_and_overflow(self):
+        import pytest
+
+        from aic_tpu.vui.notification import NotificationHub, ProgressContent
+
+        hub = NotificationHub()
+        keep = [hub.show(ProgressContent(f"n{i}", 0.0)) for i in range(hub.LIMIT)]
+        with pytest.raises(OverflowError):
+            hub.show(ProgressContent("extra", 0.0))
+        keep[0].dismiss()
+        replacement = hub.show(ProgressContent("replacement", 0.0))
+        assert hub.count() == hub.LIMIT
+        assert replacement.content.title == "replacement"
+
+    def test_session_shows_notification_in_hud(self):
+        import numpy as np
+
+        from aic_tpu.apps import Session
+        from aic_tpu.content import TemplateParameters, build_universe
+        from aic_tpu.raytrace import Viewport
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(16, 16))
+        s.enable_ui()
+        before = np.asarray(s.ui_state.contents).copy()
+        note = s.show_notification("Saving", 0.5)
+        s.refresh_ui()
+        after = np.asarray(s.ui_state.contents)
+        assert (before != after).any()  # progress bar + text appeared
+        note.dismiss()
+        s.refresh_ui()
+        cleared = np.asarray(s.ui_state.contents)
+        y = s.ui_space.bounds.size[1] - 2
+        assert (cleared[:, y, 0] == 0).all()
