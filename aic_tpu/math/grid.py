@@ -155,6 +155,18 @@ def rotation_from_name(name: str) -> int:
     return int(matches[0])
 
 
+def rotation_name(index: int) -> str:
+    """Inverse of :func:`rotation_from_name`: the reference's name of
+    rotation `index` (rotation.rs naming scheme)."""
+    m = ROTATION_MATRICES[index]
+    letters = []
+    for col in range(3):
+        axis = int(np.nonzero(m[:, col])[0][0])
+        ch = "xyz"[axis]
+        letters.append(ch.upper() if m[axis, col] > 0 else ch)
+    return "R" + "".join(letters)
+
+
 def rotate_voxel_array(arr: np.ndarray, rot: np.ndarray) -> np.ndarray:
     """Rotate a cubical voxel array [R,R,R,...] by a signed permutation.
 

@@ -1,0 +1,138 @@
+"""Reference-native save format (.alliscubesjson) import/export tests
+(save/schema.rs UniverseV1; port/src/import.rs Format::AicJson)."""
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.block import (
+    Atom,
+    Block,
+    Composite,
+    InvInBlock,
+    InventoryModifier,
+    Recur,
+    Tag,
+)
+from aic_tpu.io.import_ref import load_alliscubesjson, save_alliscubesjson
+from aic_tpu.math.grid import GridAab, rotation_from_name, rotation_name
+from aic_tpu.space import Sky, Space, SpacePhysics
+from aic_tpu.universe import Universe
+
+
+def test_import_reference_test_file():
+    """The file checked into the reference's own port test suite parses."""
+    u, warnings = load_alliscubesjson(
+        "/root/reference/all-is-cubes-port/tests/port-files/native/native-test.alliscubesjson"
+    )
+    assert warnings == []
+
+
+def test_rotation_names_roundtrip():
+    for i in range(48):
+        assert rotation_from_name(rotation_name(i)) == i
+
+
+def _universe():
+    u = Universe()
+    vox = Space(GridAab.from_lower_size((0, 0, 0), (4, 4, 4)))
+    for x in range(4):
+        vox.set((x, 0, 0), block.from_color((1.0, 0.0, 0.0, 1.0)))
+    u.insert_space("vox", vox)
+
+    sp = Space(
+        GridAab.from_lower_size((-2, 0, -2), (5, 4, 5)),
+        physics=SpacePhysics(sky=Sky.uniform((0.6, 0.7, 0.9))),
+    )
+    sp.set((0, 0, 0), Block(Recur(space=vox, resolution=4)))
+    sp.set(
+        (1, 0, 0),
+        Block(Atom(color=(0.2, 0.9, 0.3, 1.0), emission=(1.0, 2.0, 0.5))).with_attributes(
+            display_name="emitter"
+        ),
+    )
+    sp.set(
+        (2, 0, 0),
+        block.from_color((0.5, 0.5, 0.5, 1.0)).rotate(rotation_from_name("RXZy"))
+        .with_modifier(Tag("marker")),
+    )
+    sp.set(
+        (0, 1, 0),
+        block.from_color((0.3, 0.2, 0.1, 1.0), "chest")
+        .with_attributes(inventory=InvInBlock.default_for_size(2))
+        .with_modifier(
+            InventoryModifier(icons=(block.from_color((1, 1, 0, 1)), None))
+        ),
+    )
+    sp.set(
+        (1, 1, 0),
+        block.from_color((0.1, 0.1, 0.9, 0.5)).with_modifier(
+            Composite(source=block.from_color((0.9, 0.1, 0.1, 1.0)), operator="atop")
+        ),
+    )
+    u.insert_space("world", sp)
+    u.insert_character("player", "world", (0.5, 2.0, 0.5))
+    return u
+
+
+class TestRoundTrip:
+    def test_universe_roundtrip(self, tmp_path):
+        u = _universe()
+        path = tmp_path / "u.alliscubesjson"
+        save_alliscubesjson(u, str(path))
+        u2, warnings = load_alliscubesjson(str(path))
+        assert warnings == []
+        assert set(u2.spaces) == {"vox", "world"}
+        sp1, sp2 = u.spaces["world"], u2.spaces["world"]
+        assert sp1.bounds.lower == sp2.bounds.lower
+        assert sp1.bounds.size == sp2.bounds.size
+        # contents match cube-for-cube as evaluated colors
+        np.testing.assert_array_equal(
+            sp1.contents != 0, sp2.contents != 0
+        )
+        for cube in [(0, 0, 0), (1, 0, 0), (2, 0, 0), (0, 1, 0), (1, 1, 0)]:
+            b1, b2 = sp1.block_at(cube), sp2.block_at(cube)
+            assert type(b1.primitive) is type(b2.primitive), cube
+        # emission survived
+        em = sp2.block_at((1, 0, 0)).primitive.emission
+        assert tuple(em) == (1.0, 2.0, 0.5)
+        # rotation + tag survived
+        mods = sp2.block_at((2, 0, 0)).modifiers
+        names = [type(m).__name__ for m in mods]
+        assert "Rotate" in names and "Tag" in names
+        # inventory modifier + config survived
+        chest = sp2.block_at((0, 1, 0))
+        assert chest.attributes.inventory.inventory_size == 2
+        inv = [m for m in chest.modifiers if isinstance(m, InventoryModifier)][0]
+        assert inv.icons[0] is not None and inv.icons[1] is None
+        # character survived
+        assert "player" in u2.characters
+
+    def test_rendered_equivalence(self, tmp_path):
+        """Round-tripped universes evaluate to the same device state."""
+        u = _universe()
+        path = tmp_path / "u.alliscubesjson"
+        save_alliscubesjson(u, str(path))
+        u2, _ = load_alliscubesjson(str(path))
+        st1 = u.get_state("world")
+        st2 = u2.get_state("world")
+        np.testing.assert_array_equal(
+            np.asarray(st1.contents) != 0, np.asarray(st2.contents) != 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(st1.tables.face_colors),
+            np.asarray(st2.tables.face_colors),
+            atol=1e-6,
+        )
+
+    def test_light_field_roundtrip(self, tmp_path):
+        from aic_tpu.light import evaluate_light
+
+        u = _universe()
+        u.states["world"], _ = evaluate_light(u.get_state("world"))
+        path = tmp_path / "u.alliscubesjson"
+        save_alliscubesjson(u, str(path))
+        u2, _ = load_alliscubesjson(str(path))
+        np.testing.assert_array_equal(
+            np.asarray(u.states["world"].light), np.asarray(u2.states["world"].light)
+        )
