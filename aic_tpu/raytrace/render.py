@@ -94,10 +94,24 @@ def auto_exposure_target(light) -> float:
     return float(0.5 / jnp.exp2(mean_log))
 
 
+#: Volume above which `render` windows the state to the camera's visible
+#: volume before tracing (the light-texture windowing analog,
+#: space/state.py window_state). 2^24 cubes ≈ a 256³ space.
+AUTO_WINDOW_VOLUME = 1 << 24
+
+
 def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rendering:
     """Render to an sRGB image (host). Imperfections are *reported* in
     Rendering.flaws (flaws.rs contract), never silently dropped."""
     flaws: list[str] = []
+    n_cubes = int(np.prod(state.contents.shape))
+    if n_cubes > AUTO_WINDOW_VOLUME:
+        from ..space.state import visible_light_volume, window_state
+
+        eye = np.asarray(camera.eye_to_world[:3, 3], np.float64)
+        lo, hi = visible_light_volume(state, eye, camera.options.view_distance)
+        if int(np.prod(np.asarray(hi) - np.asarray(lo))) < n_cubes:
+            state = window_state(state, lo, hi)
     if camera.options.lighting_display == "bounce":
         light, trans = render_hdr(state, camera, include_sky)
     else:

@@ -178,3 +178,80 @@ def scatter_set_cubes(state: SpaceState, idx, new_indices):
     return dataclasses.replace(
         state, contents=contents, light_dirty=dirty, cells=cells
     )
+
+
+def visible_light_volume(state: SpaceState, view_position, view_distance: float):
+    """World-coordinate window for which rendering needs data: the view
+    sphere's bounding box (plus a chunk-diagonal margin) intersected with
+    the space bounds (gpu/src/light_texture.rs:39 visible_light_volume).
+
+    Returns (lower, upper) world coords, always a non-empty box clipped
+    to the state's bounds.
+    """
+    margin = 16.0 * 1.75  # CAMERA_MARGIN_RADIUS (light_texture.rs:34)
+    p = np.asarray(view_position, np.float64)
+    r = float(view_distance) + margin
+    lo = np.floor(p - r).astype(np.int64)
+    hi = np.ceil(p + r).astype(np.int64)
+    s_lo = np.asarray(state.lower, np.int64)
+    s_hi = s_lo + np.asarray(state.contents.shape, np.int64)
+    lo = np.clip(lo, s_lo, s_hi - 1)
+    hi = np.clip(hi, lo + 1, s_hi)
+    return tuple(int(v) for v in lo), tuple(int(v) for v in hi)
+
+
+def window_state(state: SpaceState, lower, upper) -> SpaceState:
+    """Slice a SpaceState to the world-coordinate window [lower, upper).
+
+    The big-world analog of the reference's windowed light texture
+    (gpu/src/light_texture.rs:139-239 region mapping): spaces larger than
+    the renderer wants to traverse are windowed to the visible volume.
+    Contents/light slice directly; the traversal cells' space-brick
+    section is rebuilt for the window (the skip field must not reference
+    visibility outside it), while the palette-level voxel-block brick
+    rows are shared unchanged. Rays exiting the window see sky — the same
+    far-clip behavior as the reference's view-distance culling.
+
+    Host-side operation: intended to run when the camera crosses window
+    boundaries, not per frame.
+    """
+    from ..raytrace import accel
+
+    lo_w = np.asarray(lower, np.int64)
+    hi_w = np.asarray(upper, np.int64)
+    s_lo = np.asarray(state.lower, np.int64)
+    rel_lo = lo_w - s_lo
+    rel_hi = hi_w - s_lo
+    size = np.asarray(state.contents.shape, np.int64)
+    if (rel_lo < 0).any() or (rel_hi > size).any() or (rel_hi <= rel_lo).any():
+        raise ValueError(f"window {lower}..{upper} outside state bounds")
+    sl = tuple(slice(int(a), int(b)) for a, b in zip(rel_lo, rel_hi))
+
+    contents_np = np.asarray(state.contents)[sl]
+    tables = state.tables
+    visible = np.asarray(tables.visible)
+    voxel_index = np.asarray(tables.voxel_index)
+    res_log2 = np.asarray(tables.res_log2)
+    space_cells = accel.build_trace_cells(
+        contents_np.astype(np.int32),
+        visible,
+        voxel_index >= 0,
+        res_log2,
+        payload=accel.cell_payload(voxel_index),
+    )
+    n_space_bricks_old = int(np.prod(accel.brick_dims(state.contents.shape)))
+    vox_brick_rows = state.cells[n_space_bricks_old:]
+    cells = jnp.concatenate(
+        [jnp.asarray(accel.to_bricks(space_cells)), vox_brick_rows], axis=0
+    )
+
+    import dataclasses
+
+    return dataclasses.replace(
+        state,
+        contents=jnp.asarray(contents_np),
+        light=jnp.asarray(np.asarray(state.light)[sl]),
+        light_dirty=jnp.asarray(np.asarray(state.light_dirty)[sl]),
+        cells=cells,
+        lower=tuple(int(v) for v in lo_w),
+    )

@@ -238,3 +238,62 @@ class TestDebugDumps:
         assert info["size"] == [8, 8, 8]
         assert info["light_status_counts"]["opaque"] > 0
         assert info["light_dirty"] == 0
+
+
+class TestAudio:
+    """Audio pipeline (desktop/src/audio.rs role): fluff → spatialized
+    mix → PCM sink."""
+
+    def test_mixer_schedules_and_pans(self):
+        import numpy as np
+
+        from aic_tpu.apps.audio import AudioMixer
+        from aic_tpu.universe.sound import SoundDef
+
+        m = AudioMixer()
+        m.schedule(SoundDef(frequency=440.0, duration=0.05), 0.0, gain=1.0, pan=-1.0)
+        m.schedule(SoundDef(frequency=880.0, duration=0.05), 0.1, gain=1.0, pan=1.0)
+        out = m.take()
+        assert out.shape[1] == 2
+        # hard-left sound: right channel silent in the first window
+        assert np.abs(out[: 2000, 0]).max() > 0.01
+        assert np.abs(out[: 2000, 1]).max() < 1e-6
+        # second sound occupies the right channel later
+        s = int(0.1 * 44100)
+        assert np.abs(out[s : s + 2000, 1]).max() > 0.01
+
+    def test_spatialize_attenuates_and_pans(self):
+        from aic_tpu.apps.audio import MAX_HEARING_DISTANCE, spatialize
+
+        g_near, _ = spatialize((0, 0, 0), 0.0, (1, 0, 0))
+        g_far, _ = spatialize((0, 0, 0), 0.0, (MAX_HEARING_DISTANCE + 5, 0, 0))
+        assert g_near > 0.9 and g_far == 0.0
+        _, pan_right = spatialize((0, 0, 0), 0.0, (5, 0, 0))
+        _, pan_left = spatialize((0, 0, 0), 0.0, (-5, 0, 0))
+        assert pan_right > 0.9 and pan_left < -0.9
+
+    def test_session_audio_writes_wav(self, tmp_path):
+        import wave
+
+        import numpy as np
+
+        from aic_tpu.apps import Session
+        from aic_tpu.apps.audio import SessionAudio, WavFileSink
+        from aic_tpu.content import TemplateParameters, build_universe
+        from aic_tpu.raytrace import Viewport
+        from aic_tpu.universe.transaction import Fluff
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(8, 8))
+        path = tmp_path / "out.wav"
+        audio = SessionAudio(s, WavFileSink(str(path)))
+        u.fluff_buffer.append(Fluff("Place", (4, 4, 4)))
+        assert audio.pump(now=0.0) == 1
+        u.fluff_buffer.append(Fluff("Destroy", (4, 4, 4)))
+        assert audio.pump(now=0.25) == 1
+        audio.flush()
+        with wave.open(str(path)) as w:
+            assert w.getnchannels() == 2
+            frames = w.getnframes()
+        assert frames > 0.25 * 44100
