@@ -92,6 +92,10 @@ class Session:
         from ..vui.notification import NotificationHub
 
         self.notifications = NotificationHub()
+        #: Draw a wireframe over the targeted cube (gpu cursor lines role).
+        self.debug_cursor = False
+        self._last_cursor = None
+        self._frame_ema = 0.0
 
     @property
     def character(self):
@@ -182,11 +186,14 @@ class Session:
         self.camera.exposure += (target - self.camera.exposure) * 0.2
 
     def render(self):
+        import time as _time
+
         import jax.numpy as jnp
 
         from ..math.color import linear_to_srgb8
         from ..raytrace.render import Rendering, apply_bloom, render_hdr
 
+        t0 = _time.perf_counter()
         ch = self.character
         state = self.universe.get_state(ch.space_name)
         cam = self.eye_camera()
@@ -199,7 +206,35 @@ class Session:
         srgb = linear_to_srgb8(rgb)
         alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
         img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
+        if self.debug_cursor and self._last_cursor is not None:
+            from ..raytrace.lines import cursor_wireframe, overlay_wireframes
+
+            img = overlay_wireframes(
+                img, cam, [(cursor_wireframe(self._last_cursor.cube), (255, 255, 255))]
+            )
+        # Info-text overlay content (the reference's info-text window,
+        # session.rs info_text): frame time + moving-average FPS.
+        dt = _time.perf_counter() - t0
+        self._frame_ema = 0.8 * self._frame_ema + 0.2 * dt if self._frame_ema else dt
+        self.info_text = (
+            f"frame {dt * 1e3:6.1f} ms | {1.0 / max(self._frame_ema, 1e-6):5.1f} fps | "
+            f"{cam.viewport.width}x{cam.viewport.height}"
+        )
         return Rendering(cam.viewport.width, cam.viewport.height, img)
+
+    def update_cursor(self):
+        """Re-run the cursor raycast from the eye (Session::update_cursor,
+        session.rs): stores the result for tools + the debug highlight."""
+        from ..universe.cursor import cursor_raycast
+
+        ch = self.character
+        cam = self.eye_camera()
+        eye = np.asarray(cam.eye_to_world[:3, 3], np.float64)
+        fwd = -np.asarray(cam.eye_to_world[:3, 2], np.float64)
+        self._last_cursor = cursor_raycast(
+            self.universe.spaces[ch.space_name], eye, fwd
+        )
+        return self._last_cursor
 
     # ---- UI layer (reference: ui/src/vui, Layers<Camera> world+ui) -------
 

@@ -98,8 +98,10 @@ class _GltfBuilder:
             )
         prim = {
             "attributes": attrs,
-            "indices": self.accessor(
-                mesh.indices.astype("<u4"), "SCALAR", 5125, 34963
+            "indices": (
+                self.accessor(mesh.indices.astype("<u2"), "SCALAR", 5123, 34963)
+                if mesh.indices.dtype == np.uint16
+                else self.accessor(mesh.indices.astype("<u4"), "SCALAR", 5125, 34963)
             ),
             "mode": 4,
         }

@@ -155,6 +155,87 @@ def rotation_from_name(name: str) -> int:
     return int(matches[0])
 
 
+class Gridgid:
+    """Rigid integer transform: rotation (one of the 48) + translation
+    (math/gridgid.rs `Gridgid`). Composable, invertible, applies to cubes
+    and free points. The rotation is an index into ROTATION_MATRICES."""
+
+    __slots__ = ("rotation", "translation")
+
+    IDENTITY: "Gridgid"
+
+    def __init__(self, rotation: int = None, translation=(0, 0, 0)):
+        self.rotation = IDENTITY_ROTATION if rotation is None else int(rotation)
+        self.translation = np.asarray(translation, np.int64)
+
+    @staticmethod
+    def from_translation(v) -> "Gridgid":
+        return Gridgid(IDENTITY_ROTATION, v)
+
+    @staticmethod
+    def from_rotation_about(rotation: int, center_cube) -> "Gridgid":
+        """Rotation about the center of `center_cube` (gridgid.rs
+        `from_rotation_about` role): t = c' − R·c' with c' = 2·cube+1 in
+        doubled coordinates; here computed on cube centers exactly using
+        the doubled-integer trick."""
+        c2 = np.asarray(center_cube, np.int64) * 2 + 1  # doubled center
+        m = ROTATION_MATRICES[rotation].astype(np.int64)
+        t2 = c2 - m @ c2
+        assert (t2 % 2 == 0).all()
+        return Gridgid(rotation, t2 // 2)
+
+    def matrix(self) -> np.ndarray:
+        return ROTATION_MATRICES[self.rotation].astype(np.int64)
+
+    def transform_point(self, p):
+        """Free point (float) transform."""
+        return self.matrix().astype(np.float64) @ np.asarray(p, np.float64) + (
+            self.translation.astype(np.float64)
+        )
+
+    def transform_cube(self, cube):
+        """Cube transform (gridgid.rs transform_cube): rotate the cube's
+        lower corner accounting for the rotation's corner remap."""
+        m = self.matrix()
+        lo = m @ np.asarray(cube, np.int64)
+        hi = m @ (np.asarray(cube, np.int64) + 1)
+        return tuple(int(v) for v in np.minimum(lo, hi) + self.translation)
+
+    def compose(self, other: "Gridgid") -> "Gridgid":
+        """self ∘ other (apply `other` first)."""
+        rot = compose_rotations(self.rotation, other.rotation)
+        t = self.matrix() @ other.translation + self.translation
+        return Gridgid(rot, t)
+
+    def inverse(self) -> "Gridgid":
+        inv_rot = inverse_rotation(self.rotation)
+        m_inv = ROTATION_MATRICES[inv_rot].astype(np.int64)
+        return Gridgid(inv_rot, -(m_inv @ self.translation))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Gridgid)
+            and self.rotation == other.rotation
+            and (self.translation == other.translation).all()
+        )
+
+    def __repr__(self):
+        return f"Gridgid({rotation_name(self.rotation)}, {tuple(self.translation)})"
+
+
+def compose_rotations(a: int, b: int) -> int:
+    """Index of rotation a∘b."""
+    m = ROTATION_MATRICES[a] @ ROTATION_MATRICES[b]
+    idx = np.nonzero((ROTATION_MATRICES == m).all(axis=(1, 2)))[0]
+    return int(idx[0])
+
+
+def inverse_rotation(r: int) -> int:
+    m = ROTATION_MATRICES[r].T  # signed permutation: inverse = transpose
+    idx = np.nonzero((ROTATION_MATRICES == m).all(axis=(1, 2)))[0]
+    return int(idx[0])
+
+
 def rotation_name(index: int) -> str:
     """Inverse of :func:`rotation_from_name`: the reference's name of
     rotation `index` (rotation.rs naming scheme)."""
@@ -183,3 +264,6 @@ def rotate_voxel_array(arr: np.ndarray, rot: np.ndarray) -> np.ndarray:
         if signs[row] < 0:
             out = np.flip(out, axis=row)
     return out
+
+
+Gridgid.IDENTITY = Gridgid()

@@ -59,6 +59,14 @@ class SpaceMesh:
     uvs: np.ndarray | None = None  # f32[V,2]
     texture: np.ndarray | None = None  # u8[H,W,4]
 
+    def shrink_indices(self) -> "SpaceMesh":
+        """Downcast indices to u16 when the vertex count allows — the
+        reference's IndexVec u16/u32 switching (mesh/src/index_vec.rs):
+        halves index memory for the common small-mesh case."""
+        if len(self.positions) <= 0xFFFF and self.indices.dtype != np.uint16:
+            self.indices = self.indices.astype(np.uint16)
+        return self
+
     @property
     def triangle_count(self) -> int:
         return len(self.indices) // 3
@@ -164,14 +172,14 @@ def mesh_space(space: Space, greedy: bool = True, style: str | None = None) -> S
         return _mesh_arrays_triangulated(
             space.contents, vis, ev_face_colors,
             np.asarray(space.bounds.lower, np.float32),
-        )
+        ).shrink_indices()
     return _mesh_arrays(
         space.contents,
         vis,
         ev_face_colors,
         np.asarray(space.bounds.lower, np.float32),
         style == "greedy",
-    )
+    ).shrink_indices()
 
 
 def _mesh_arrays_triangulated(contents, vis, ev_face_colors, lower):
@@ -454,7 +462,7 @@ def mesh_space_voxel_detail(space: Space, style: str = "no_t_junction") -> Space
         ),
         opaque_range=ranges[True],
         transparent_range=ranges[False],
-    )
+    ).shrink_indices()
 
 
 def mesh_space_textured(space: Space, style: str = "no_t_junction") -> SpaceMesh:
@@ -535,4 +543,4 @@ def mesh_space_textured(space: Space, style: str = "no_t_junction") -> SpaceMesh
         transparent_range=ranges[False],
         uvs=uvs,
         texture=image,
-    )
+    ).shrink_indices()

@@ -145,3 +145,44 @@ def print_space_ascii(state: SpaceState, camera: Camera, chars: str = " .:-=+*#%
     lum = lum / max(lum.max(), 1e-6)
     idx = np.clip((lum * (len(chars) - 1)).round().astype(int), 0, len(chars) - 1)
     return "\n".join("".join(chars[i] for i in row) for row in idx)
+
+
+def render_depth(state: SpaceState, camera: Camera):
+    """Depth image: t-distance (in units of the camera ray's near→far
+    span) of the first surface per pixel; misses are +inf.
+
+    The DepthBuf accumulator (render/src/raytracer/accum.rs:254-282):
+    depth = min over hits of t_distance, starting from +inf. Our
+    hit-buffered tracer exposes the first phase's hit buffer directly.
+    """
+    from .tracer import HIT_NONE, trace_rays
+
+    origins, directions = camera.pixel_rays()
+    _, _, hits = trace_rays(
+        state, origins, directions, camera.options, return_hits=True
+    )
+    shape = origins.shape[:-1]
+    t = jnp.asarray(hits["hit_t"]).reshape(shape)
+    kind = jnp.asarray(hits["hit_kind"]).reshape(shape)
+    return jnp.where(kind == HIT_NONE, jnp.inf, t)
+
+
+def accumulate_hits(state: SpaceState, camera: Camera, fold, init):
+    """Custom accumulation over the tracer's per-phase hit buffers — the
+    batch analog of the reference's `Accumulate` trait (accum.rs:108):
+    where the reference folds per surface along each serial ray, the TPU
+    tracer produces one hit buffer per transparency phase; `fold(acc,
+    phase_hits)` is called once per phase with dict arrays over all rays
+    (hit_kind/hit_idx/hit_face/hit_cube/hit_t) and must return the new
+    accumulator pytree.
+    """
+    from .tracer import trace_rays
+
+    origins, directions = camera.pixel_rays()
+    _, _, hits = trace_rays(
+        state, origins, directions, camera.options, return_hits=True
+    )
+    acc = init
+    for phase_hits in hits["phases"]:
+        acc = fold(acc, {k: jnp.asarray(v) for k, v in phase_hits.items()})
+    return acc

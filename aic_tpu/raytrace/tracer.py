@@ -923,7 +923,7 @@ def trace_rays(
 
     st = init
     walkers = []
-    first_hits = None
+    all_hits = []  # per-phase hit buffers (return_hits)
     unfinished = jnp.asarray(False)
     for _phase in range(phases):
         if return_stats:
@@ -939,11 +939,13 @@ def trace_rays(
             # Rays still walking after the loop ran out of fuel produce an
             # imperfect frame (Flaws::UNFINISHED analog).
             unfinished = unfinished | st["walking"].any()
-        if _phase == 0 and return_hits:
-            first_hits = {
-                k: st[k]
-                for k in ("hit_kind", "hit_face", "hit_t", "hit_cube", "hit_idx")
-            }
+        if return_hits:
+            all_hits.append(
+                {
+                    k: st[k]
+                    for k in ("hit_kind", "hit_face", "hit_t", "hit_cube", "hit_idx")
+                }
+            )
         phase_illum = illum_override if _phase == 0 else None
         # Skip the whole shading pass when no ray hit anything this phase
         # (later phases of opaque scenes cost nothing).
@@ -972,7 +974,11 @@ def trace_rays(
             ),
         )
     if return_hits:
-        out = out + (first_hits,)
+        # First phase's buffer, with the full per-phase list attached for
+        # custom accumulators (accum.rs Accumulate analog).
+        first = dict(all_hits[0])
+        first["phases"] = all_hits
+        out = out + (first,)
     return out
 
 

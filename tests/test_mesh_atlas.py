@@ -118,8 +118,8 @@ class TestGltfExport:
         assert "TEXCOORD_0" in prim["attributes"]
         assert "material" in prim
         assert doc["images"][0]["uri"].startswith("data:image/png")
-        # accessors parse
-        assert doc["accessors"][prim["indices"]]["componentType"] == 5125
+        # index accessor is u16 (small mesh) or u32
+        assert doc["accessors"][prim["indices"]]["componentType"] in (5123, 5125)
 
     def test_animation_gltf(self, tmp_path):
         from aic_tpu.io import export_gltf_animation

@@ -156,3 +156,116 @@ class TestRenderer:
         np.testing.assert_allclose(center_dir, [0, 0, -1], atol=1e-6)
         # Origin on the near plane.
         np.testing.assert_allclose(o[4, 4], [0, 0, 10 - 1 / 32], atol=1e-4)
+
+
+class TestAccumulators:
+    """Depth + custom accumulators (render/src/raytracer/accum.rs:108,254)."""
+
+    def _scene(self):
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space import Sky, Space, SpacePhysics
+
+        sp = Space(
+            GridAab.from_lower_size((0, 0, 0), (4, 4, 8)),
+            physics=SpacePhysics(sky=Sky.uniform((0.5, 0.5, 0.5))),
+        )
+        sp.set((1, 1, 2), block.from_color((1, 0, 0, 1)))
+        sp.set((1, 1, 5), block.from_color((0, 0, 1, 0.5)))
+        return sp.snapshot()
+
+    def test_render_depth(self):
+        import numpy as np
+
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+        from aic_tpu.raytrace.render import render_depth
+
+        st = self._scene()
+        opts = GraphicsOptions(lighting_display="flat", fog="none")
+        cam = Camera(opts, Viewport(16, 16))
+        cam.look_at((1.5, 1.5, 7.5), (1.5, 1.5, 0.0))
+        d = np.asarray(render_depth(st, cam))
+        center = d[8, 8]
+        assert np.isfinite(center)
+        # The transparent block at z=5 is nearer but depth records the
+        # FIRST surface, which is that transparent pane.
+        assert 0.0 < center < 1.0
+        assert np.isinf(d[0, 0])  # sky pixel
+
+    def test_custom_accumulator_counts_surfaces(self):
+        import numpy as np
+
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+        from aic_tpu.raytrace.render import accumulate_hits
+        from aic_tpu.raytrace.tracer import HIT_NONE
+
+        st = self._scene()
+        opts = GraphicsOptions(
+            lighting_display="flat", fog="none", transparency="surface"
+        )
+        cam = Camera(opts, Viewport(16, 16))
+        cam.look_at((1.5, 1.5, 7.5), (1.5, 1.5, 0.0))
+
+        def fold(acc, hits):
+            return acc + (np.asarray(hits["hit_kind"]) != HIT_NONE).astype(int)
+
+        counts = accumulate_hits(st, cam, fold, np.zeros(16 * 16, int)).reshape(16, 16)
+        # The center ray passes the semi-transparent pane then hits the
+        # opaque block: 2 surfaces.
+        assert counts[8, 8] == 2
+        assert counts[0, 0] == 0
+
+
+class TestDebugLines:
+    """Debug line overlays (gpu lines pipeline role; raytrace/lines.py)."""
+
+    def test_cursor_wireframe_overlay(self):
+        import numpy as np
+
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport, render
+        from aic_tpu.raytrace.lines import cursor_wireframe, overlay_wireframes
+        from aic_tpu.space import Space
+
+        sp = Space(GridAab.cube(8))
+        sp.set((4, 4, 4), block.from_color((0.2, 0.4, 0.8, 1.0)))
+        st = sp.snapshot()
+        opts = GraphicsOptions(lighting_display="flat", fog="none")
+        cam = Camera(opts, Viewport(64, 48))
+        cam.look_at((4.5, 4.5, 8.0), (4.5, 4.5, 4.5))
+        r = render(st, cam)
+        out = overlay_wireframes(
+            r.data, cam, [(cursor_wireframe((4, 4, 4)), (255, 0, 255))]
+        )
+        assert out.shape == r.data.shape
+        # Magenta pixels appeared where there were none.
+        magenta = (out[..., 0] == 255) & (out[..., 1] == 0) & (out[..., 2] == 255)
+        assert magenta.sum() > 10
+        before = (r.data[..., 0] == 255) & (r.data[..., 1] == 0) & (r.data[..., 2] == 255)
+        assert before.sum() == 0
+
+    def test_behind_camera_segments_clipped(self):
+        import numpy as np
+
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+        from aic_tpu.raytrace.lines import project_segments
+
+        cam = Camera(GraphicsOptions(), Viewport(32, 32))
+        cam.look_at((0.0, 0.0, 0.0), (0.0, 0.0, -1.0))
+        behind = np.array([[[0.0, 0.0, 5.0], [0.0, 1.0, 5.0]]])
+        assert len(project_segments(cam, behind)) == 0
+
+
+class TestGridgid:
+    def test_u16_indices(self):
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.mesh import mesh_space
+        from aic_tpu.space import Space
+        import numpy as np
+
+        sp = Space(GridAab.cube(4))
+        sp.set((1, 1, 1), block.from_color((1, 0, 0, 1)))
+        m = mesh_space(sp)
+        assert m.indices.dtype == np.uint16  # IndexVec u16 path

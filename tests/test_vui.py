@@ -228,3 +228,23 @@ class TestNotifications:
         cleared = np.asarray(s.ui_state.contents)
         y = s.ui_space.bounds.size[1] - 2
         assert (cleared[:, y, 0] == 0).all()
+
+
+class TestSessionCursorOverlay:
+    def test_cursor_highlight_and_info_text(self):
+        import numpy as np
+
+        from aic_tpu.apps import Session
+        from aic_tpu.content import TemplateParameters, build_universe
+        from aic_tpu.raytrace import Viewport
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(32, 32))
+        s.debug_cursor = True
+        cur = s.update_cursor()
+        r = s.render()
+        assert "fps" in s.info_text
+        if cur is not None:
+            white = (r.data[..., :3] == 255).all(-1)
+            assert white.any()
