@@ -164,3 +164,48 @@ class TestExhibits:
             for i in range(sp.palette_len())
         }
         assert "Transparency" in names  # first exhibit's sign tiles exist
+
+
+class TestBlockProvider:
+    """linking.rs BlockProvider typed install/using."""
+
+    def test_install_and_redefine_propagates(self):
+        import numpy as np
+
+        from aic_tpu.content.linking import BlockProvider
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space import Space
+
+        u = Universe()
+        raw = BlockProvider(
+            "demo",
+            {
+                "stone": block.from_color((0.5, 0.5, 0.5, 1.0), "stone"),
+                "lamp": block.from_color((1.0, 1.0, 0.8, 1.0), "lamp"),
+            },
+        )
+        installed = raw.install(u)
+        sp = Space(GridAab.cube(4))
+        sp.set((1, 1, 1), installed["stone"])
+        u.insert_space("world", sp)
+        ev = sp.evaluated_block_at((1, 1, 1))
+        assert abs(float(ev.color[0]) - 0.5) < 1e-5
+
+        # Redefinition through the BlockDef updates every placement.
+        u.block_defs["demo/stone"].redefine(block.from_color((1.0, 0.0, 0.0, 1.0)))
+        u.step()
+        ev2 = u.spaces["world"].evaluated_block_at((1, 1, 1))
+        assert float(ev2.color[0]) > 0.9
+
+    def test_using_reports_missing(self):
+        import pytest
+
+        from aic_tpu.content.linking import BlockProvider, ProviderError
+
+        u = Universe()
+        BlockProvider("demo", {"a": block.from_color((1, 1, 1, 1))}).install(u)
+        got = BlockProvider.using(u, "demo", ["a"])
+        assert "a" in got
+        with pytest.raises(ProviderError) as e:
+            BlockProvider.using(u, "demo", ["a", "b", "c"])
+        assert "demo/b" in str(e.value)
