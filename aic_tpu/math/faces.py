@@ -63,24 +63,30 @@ def face_from_step(axis: int, positive_step: bool) -> int:
     return axis if positive_step else axis + 3
 
 
-#: rotation_from_nz analog: for each face, an orthonormal integer frame
-#: (tangent_u, tangent_v, normal) with normal = FACE_NORMALS[face].
-#: Used by smooth-light interpolation (sr.rs:263 `face.rotation_from_nz()`
-#: transforming the +X/+Y tangent basis).  Any right-handed tangent basis
-#: works as long as it is consistent between light store and lookup; we pick
-#: cyclic axes: tangents are the other two axes in cyclic order.
+#: rotation_from_nz frames: for each face, (tangent_u, tangent_v, normal)
+#: with u/v = `face.rotation_from_nz()` images of +X/+Y (face.rs:394-403)
+#: and normal = FACE_NORMALS[face]. Smooth-light interpolation samples
+#: with exactly these frames (sr.rs:263); the choice matters at block
+#: corners, where invalid-texel AO amplification is NOT symmetric under
+#: tangent sign flips — a freely-chosen basis diverges from the
+#: reference's goldens there (sky-* cases).
 def _tangent_frame() -> np.ndarray:
+    #                  u           v            (per face NX,NY,NZ,PX,PY,PZ)
+    uv = np.array(
+        [
+            [[0, 1, 0], [0, 0, 1]],   # NX (RYZX)
+            [[0, 0, 1], [1, 0, 0]],   # NY (RZXY)
+            [[1, 0, 0], [0, 1, 0]],   # NZ (identity)
+            [[0, -1, 0], [0, 0, 1]],  # PX (RyZx)
+            [[0, 0, 1], [-1, 0, 0]],  # PY (RZxy)
+            [[1, 0, 0], [0, -1, 0]],  # PZ (RXyz)
+        ],
+        np.int32,
+    )
     frames = np.zeros((6, 3, 3), dtype=np.int32)
-    for f in range(6):
-        n = FACE_NORMALS[f]
-        axis = FACE_AXES[f]
-        u = np.zeros(3, np.int32)
-        v = np.zeros(3, np.int32)
-        u[(axis + 1) % 3] = 1
-        v[(axis + 2) % 3] = 1
-        frames[f, 0] = u
-        frames[f, 1] = v
-        frames[f, 2] = n
+    frames[:, 0] = uv[:, 0]
+    frames[:, 1] = uv[:, 1]
+    frames[:, 2] = FACE_NORMALS
     return frames
 
 

@@ -158,14 +158,20 @@ class Camera:
         Device function; rgb is (..., 3) HDR scene light.
         """
         rgb = rgb * jnp.float32(self.exposure)
+        maxi = self.options.maximum_intensity
+        if not np.isfinite(maxi):
+            # ToneMappingOperator::apply (graphics_options.rs:362-366):
+            # without a finite maximum intensity, no tone mapping occurs.
+            return rgb
         if self.options.tone_mapping == "reinhard":
-            # graphics_options.rs:373: white-point Reinhard.
-            maxi = self.options.maximum_intensity
-            if np.isfinite(maxi):
-                rgb = rgb * (1.0 + rgb / (maxi * maxi)) / (1.0 + rgb)
-            else:
-                rgb = rgb / (1.0 + rgb)
+            # graphics_options.rs:373-376: luminance-based Reinhard,
+            # scale = 1 / (1 + Y/max) with BT.709 luminance.
+            lum = (
+                rgb[..., 0] * 0.2126
+                + rgb[..., 1] * 0.7152
+                + rgb[..., 2] * 0.0722
+            )
+            rgb = rgb / (1.0 + lum / jnp.float32(maxi))[..., None]
         else:
-            if np.isfinite(self.options.maximum_intensity):
-                rgb = jnp.minimum(rgb, self.options.maximum_intensity)
+            rgb = jnp.minimum(rgb, jnp.float32(maxi))
         return rgb
