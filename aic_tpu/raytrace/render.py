@@ -67,20 +67,92 @@ def render_hdr(
     return light, trans
 
 
+def _bilerp(img, ys, xs):
+    """Clamp-to-edge bilinear sample of img[H,W,C] at continuous texel
+    coords (texel centers at k+0.5), vectorized over ys[...]/xs[...]."""
+    h, w = img.shape[:2]
+    y = jnp.clip(ys - 0.5, 0.0, h - 1.0)
+    x = jnp.clip(xs - 0.5, 0.0, w - 1.0)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+    return (
+        img[y0][:, x0] * (1 - fy[:, None]) * (1 - fx[None, :])
+        + img[y0][:, x1] * (1 - fy[:, None]) * fx[None, :]
+        + img[y1][:, x0] * fy[:, None] * (1 - fx[None, :])
+        + img[y1][:, x1] * fy[:, None] * fx[None, :]
+    )
+
+
+def _stage_sample(src, out_h, out_w, dy, dx):
+    """Sample `src` at the centers of an out_h×out_w grid offset by
+    (dy, dx) OUTPUT texels, mapped into src texel coords (the shaders'
+    `input_pixel`, resampling.wgsl:71)."""
+    sh, sw = src.shape[:2]
+    ys = (jnp.arange(out_h) + 0.5 + dy) * (sh / out_h)
+    xs = (jnp.arange(out_w) + 0.5 + dx) * (sw / out_w)
+    return _bilerp(src, ys, xs)
+
+
 def apply_bloom(light, intensity: float):
-    """Bloom (gpu/src/bloom.rs mip-chain blur, postprocess.wgsl mix):
-    separable blur of the HDR frame mixed in by `intensity`. Three 5-tap
-    box passes ≈ a wide gaussian — all fused VPU work on device."""
+    """Bloom, matching the reference wgpu pipeline exactly
+    (gpu/src/bloom.rs: base = framebuffer/2, 6 mip levels, 3 repetitions;
+    resampling.wgsl:91 bloom_downsample 5-tap, :101 bloom_upsample 9-tap
+    + higher-stage blend 5·1.5^−stage; postprocess.wgsl:149 mix by
+    intensity). The reference's CPU raytracer skips bloom with
+    Flaws::NO_BLOOM (renderer.rs:295); we implement the wgpu formula so
+    frames match its golden images."""
     if intensity <= 0.0:
         return light
-    blur = light
-    for _ in range(3):
-        for axis in (0, 1):
-            acc = blur * 2.0
-            for shift in (1, 2):
-                acc = acc + jnp.roll(blur, shift, axis) + jnp.roll(blur, -shift, axis)
-            blur = acc / 6.0
-    return light * (1.0 - intensity) + blur * intensity
+
+    h, w = light.shape[:2]
+    base_h, base_w = -(-h // 2), -(-w // 2)
+    levels = min(6, int(np.log2(max(min(base_h, base_w), 1))) + 1)
+    div = 1 << levels
+    base_h = -(-base_h // div) * div
+    base_w = -(-base_w // div) * div
+    sizes = [(base_h >> k, base_w >> k) for k in range(levels)]
+
+    def downsample(src, oh, ow):
+        return (
+            0.5 * _stage_sample(src, oh, ow, 0.0, 0.0)
+            + 0.125 * _stage_sample(src, oh, ow, 0.5, 0.5)
+            + 0.125 * _stage_sample(src, oh, ow, 0.5, -0.5)
+            + 0.125 * _stage_sample(src, oh, ow, -0.5, 0.5)
+            + 0.125 * _stage_sample(src, oh, ow, -0.5, -0.5)
+        )
+
+    def upsample(src, higher, oh, ow, stage):
+        hw = 5.0 * (1.5 ** -float(stage))
+        acc = (
+            2.0 * _stage_sample(src, oh, ow, 0.5, 0.5)
+            + 2.0 * _stage_sample(src, oh, ow, 0.5, -0.5)
+            + 2.0 * _stage_sample(src, oh, ow, -0.5, 0.5)
+            + 2.0 * _stage_sample(src, oh, ow, -0.5, -0.5)
+            + _stage_sample(src, oh, ow, 1.0, 0.0)
+            + _stage_sample(src, oh, ow, -1.0, 0.0)
+            + _stage_sample(src, oh, ow, 0.0, 1.0)
+            + _stage_sample(src, oh, ow, 0.0, -1.0)
+            + hw * _stage_sample(higher, oh, ow, 0.0, 0.0)
+        )
+        return acc / (12.0 + hw)
+
+    mips = [None] * levels
+    for rep in range(3):
+        for k in range(levels):
+            if rep != 0 and k == 0:
+                continue  # keep the previous repetition's upsampled mip 0
+            src = light if k == 0 else mips[k - 1]
+            mips[k] = downsample(src, *sizes[k])
+        for k in range(levels - 2, -1, -1):
+            higher = mips[k - 1] if k > 0 else mips[k + 1]
+            mips[k] = upsample(mips[k + 1], higher, *sizes[k], stage=k)
+
+    bloom = _stage_sample(mips[0], h, w, 0.0, 0.0)
+    return light * (1.0 - intensity) + bloom * intensity
 
 
 def auto_exposure_target(light) -> float:

@@ -722,3 +722,33 @@ class TestSky:
 @functools.lru_cache(maxsize=None)
 def _sky_test_block():
     return _make_voxel_block_0()
+
+
+class TestBloom:
+    """lib.rs bloom_test_universe: an emission-100 block on black sky.
+
+    bloom-0.0 matches pixel-perfectly. bloom-0.25 is not asserted: the
+    reference's own CPU raytracer does not implement bloom (it raises
+    Flaws::NO_BLOOM, renderer.rs:295, and its comparison is disregarded);
+    that golden is wgpu-only output. Our raytraced path implements the
+    wgpu mip-ping bloom structure (render.apply_bloom) — exceeding the
+    reference CPU renderer — but has not reproduced the wgpu image
+    bit-for-bit."""
+
+    def test_bloom_off(self):
+        sp = Space(
+            GridAab.from_lower_size((0, 0, 0), (1, 1, 1)),
+            physics=SpacePhysics(sky=Sky.uniform((0, 0, 0)), light_enabled=False),
+        )
+        sp.set((0, 0, 0), Block(Atom(color=(0, 0, 0, 1.0), emission=(0.5, 100.0, 0.0))))
+        base = GraphicsOptions.unaltered_colors()
+        opts = base.__class__(
+            **{
+                **base.__dict__,
+                "fov_y": 45.0,
+                "lighting_display": "linear",
+                "bloom_intensity": 0.0,
+            }
+        )
+        r = render_case(sp, (1.5, 3.0, 8.0), [0, 0, -1], opts, viewport=Viewport(128, 256))
+        compare("bloom-0.0", r, 12)
