@@ -24,25 +24,47 @@ STEP_DT = 1.0 / 60.0
 
 @dataclass
 class InputState:
-    """input.rs:39 InputProcessor: held-key state → motion intents."""
+    """input.rs:39 InputProcessor: held-key state → motion intents.
+
+    `bindings` maps keys to named commands (the key-rebinding table the
+    reference's InputProcessor keymap provides): movement commands carry
+    a direction; action commands ("jump", "pause", "slot-N", "quit") are
+    read by frontends via `command(key)`. `rebind` replaces a key's
+    command at runtime."""
 
     keys: set = field(default_factory=set)
     mouselook_delta: tuple = (0.0, 0.0)
+    bindings: dict = None
 
-    KEYMAP = {
-        "w": (0, 0, -1),
-        "s": (0, 0, 1),
-        "a": (-1, 0, 0),
-        "d": (1, 0, 0),
-        "e": (0, 1, 0),
-        "c": (0, -1, 0),
+    DEFAULT_BINDINGS = {
+        "w": ("move", (0, 0, -1)),
+        "s": ("move", (0, 0, 1)),
+        "a": ("move", (-1, 0, 0)),
+        "d": ("move", (1, 0, 0)),
+        "e": ("move", (0, 1, 0)),
+        "c": ("move", (0, -1, 0)),
+        " ": ("jump", None),
+        "p": ("pause", None),
+        "q": ("quit", None),
+        **{str(n): ("slot", n - 1) for n in range(1, 10)},
     }
+
+    def __post_init__(self):
+        if self.bindings is None:
+            self.bindings = dict(self.DEFAULT_BINDINGS)
+
+    def rebind(self, key: str, command: str, arg=None) -> None:
+        self.bindings[key] = (command, arg)
+
+    def command(self, key: str):
+        return self.bindings.get(key)
 
     def movement(self) -> np.ndarray:
         v = np.zeros(3)
         for k in self.keys:
-            if k in self.KEYMAP:
-                v += self.KEYMAP[k]
+            cmd = self.bindings.get(k)
+            if cmd and cmd[0] == "move":
+                v += cmd[1]
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
 

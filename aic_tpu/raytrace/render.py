@@ -258,3 +258,32 @@ def accumulate_hits(state: SpaceState, camera: Camera, fold, init):
     for phase_hits in hits["phases"]:
         acc = fold(acc, {k: jnp.asarray(v) for k, v in phase_hits.items()})
     return acc
+
+
+def resample_frame(image, out_h: int, out_w: int):
+    """Bilinear frame resample (the reference's frame-texture resampling,
+    gpu/src/shaders/resampling.wgsl scene-copy role): maps any rendered
+    resolution onto the display resolution."""
+    img = jnp.asarray(image, jnp.float32)
+    out = _stage_sample(img, out_h, out_w, 0.0, 0.0)
+    if np.issubdtype(np.asarray(image).dtype, np.integer):
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
+
+
+def render_scaled(state: SpaceState, camera: Camera, scale: float) -> Rendering:
+    """Render at `scale`× resolution and resample to the camera viewport
+    (the reference's Viewport nominal-vs-framebuffer scaling,
+    camera.rs Viewport::with_scale + the gpu frame-resampling pass).
+    scale < 1 trades sharpness for ray count; scale > 1 supersamples.
+    """
+    from .camera import Viewport
+
+    vp = camera.viewport
+    rw = max(int(round(vp.width * scale)), 1)
+    rh = max(int(round(vp.height * scale)), 1)
+    small_cam = Camera(camera.options, Viewport(rw, rh), eye_to_world=camera.eye_to_world)
+    small_cam.exposure = camera.exposure
+    r = render(state, small_cam)
+    data = np.asarray(resample_frame(r.data, vp.height, vp.width))
+    return Rendering(vp.width, vp.height, data, r.flaws)

@@ -209,3 +209,64 @@ class TestBlockProvider:
         with pytest.raises(ProviderError) as e:
             BlockProvider.using(u, "demo", ["a", "b", "c"])
         assert "demo/b" in str(e.value)
+
+
+class TestContentHelpers:
+    """alg.rs / clouds.rs / tree.rs helper library."""
+
+    def test_voronoi_pattern(self):
+        from aic_tpu.content.alg import voronoi_pattern
+
+        pts = [((0.2, 0.2, 0.2), 1), ((0.8, 0.8, 0.8), 2)]
+        ids = voronoi_pattern(8, pts)
+        assert ids.shape == (8, 8, 8)
+        assert ids[1, 1, 1] == 1 and ids[6, 6, 6] == 2
+        assert set(np.unique(ids)) == {1, 2}
+        # wrap: the corner across the torus is closer to the 0.8 seed
+        assert voronoi_pattern(8, pts, wrap=True)[0, 0, 0] == 1
+
+    def test_scale_color_quantizes(self):
+        from aic_tpu.content.alg import scale_color
+
+        b = block.from_color((0.5, 0.5, 0.5, 1.0))
+        s1 = scale_color(b, 0.5001)
+        s2 = scale_color(b, 0.5002)
+        assert s1.primitive.color == s2.primitive.color
+        assert abs(s1.primitive.color[0] - 0.25) < 0.01
+
+    def test_clouds_fill_layer(self):
+        from aic_tpu.content.alg import clouds
+
+        sp = Space(GridAab.from_lower_size((0, 20, 0), (16, 2, 16)))
+        clouds(sp, sp.bounds, density=0.3, seed=1)
+        filled = (sp.contents != 0).sum()
+        assert 0 < filled <= 16 * 16 * 2
+        # semi-transparent blocks only
+        for i in range(1, sp.palette_len()):
+            assert sp.evaluated(i).color[3] < 1.0
+
+    def test_make_tree(self):
+        from aic_tpu.content.alg import make_tree
+
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (9, 12, 9)))
+        make_tree(sp, (4, 0, 4), height=6)
+        assert sp.index_at((4, 2, 4)) != 0  # trunk
+        names = {
+            sp.evaluated(i).attributes.display_name
+            for i in range(1, sp.palette_len())
+        }
+        assert {"log", "leaves"} <= names
+
+    def test_four_walls_cover_perimeter(self):
+        from aic_tpu.content.alg import four_walls
+
+        b = GridAab.from_lower_size((0, 0, 0), (5, 3, 7))
+        walls = four_walls(b)
+        assert len(walls) == 4
+        cells = set()
+        for origin, along, length, inward in walls:
+            for i in range(length):
+                c = tuple(np.asarray(origin) + np.asarray(along) * i)
+                cells.add((c[0], c[2]))
+        # Perimeter of a 5x7 footprint = 2*(5+7)-4 = 20 cells
+        assert len(cells) == 20

@@ -269,3 +269,30 @@ class TestGridgid:
         sp.set((1, 1, 1), block.from_color((1, 0, 0, 1)))
         m = mesh_space(sp)
         assert m.indices.dtype == np.uint16  # IndexVec u16 path
+
+
+class TestResampling:
+    def test_render_scaled(self):
+        import numpy as np
+
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+        from aic_tpu.raytrace.render import render, render_scaled
+        from aic_tpu.space import Space
+
+        sp = Space(GridAab.cube(8))
+        sp.set((4, 4, 4), block.from_color((0.9, 0.2, 0.2, 1.0)))
+        st = sp.snapshot()
+        opts = GraphicsOptions(lighting_display="flat", fog="none")
+        cam = Camera(opts, Viewport(64, 48))
+        cam.look_at((4.5, 4.5, 8.5), (4.5, 4.5, 4.5))
+        full = render(st, cam)
+        half = render_scaled(st, cam, 0.5)
+        assert half.data.shape == full.data.shape
+        # The scene structure survives resampling (block visible, sky around).
+        d = np.abs(full.data[..., :3].astype(int) - half.data[..., :3].astype(int))
+        assert d.mean() < 20
+        red_full = (full.data[..., 0] > 150).sum()
+        red_half = (half.data[..., 0] > 150).sum()
+        assert abs(red_full - red_half) < red_full * 0.5 + 16

@@ -248,3 +248,24 @@ class TestSessionCursorOverlay:
         if cur is not None:
             white = (r.data[..., :3] == 255).all(-1)
             assert white.any()
+
+
+class TestInputBindings:
+    def test_default_and_rebind(self):
+        import numpy as np
+
+        from aic_tpu.apps.session import InputState
+
+        inp = InputState()
+        inp.keys = {"w"}
+        assert tuple(inp.movement()) == (0, 0, -1)
+        assert inp.command("p") == ("pause", None)
+        assert inp.command("3") == ("slot", 2)
+        # Rebind movement to arrow-style key.
+        inp.rebind("i", "move", (0, 0, -1))
+        inp.rebind("w", "pause")
+        inp.keys = {"i"}
+        assert tuple(inp.movement()) == (0, 0, -1)
+        inp.keys = {"w"}
+        assert np.linalg.norm(inp.movement()) == 0
+        assert inp.command("w") == ("pause", None)
