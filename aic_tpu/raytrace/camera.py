@@ -127,9 +127,15 @@ class Camera:
         xs = (np.arange(w) + 0.5) / w * 2.0 - 1.0
         ys = 1.0 - (np.arange(h) + 0.5) / h * 2.0
         if supersample:
-            # Four sub-pixel offsets at (±0.25, ±0.25) pixel.
-            ox = np.array([-0.25, 0.25, -0.25, 0.25]) * 2.0 / w
-            oy = np.array([-0.25, -0.25, 0.25, 0.25]) * -2.0 / h
+            # The reference ray renderer's rotated-grid sample points
+            # within the pixel patch: (1/8,5/8), (3/8,1/8), (5/8,7/8),
+            # (7/8,3/8) (renderer.rs:428-433), expressed as NDC offsets
+            # from the pixel center (patch v axis points NDC-up).
+            pts = np.array(
+                [[1 / 8, 5 / 8], [3 / 8, 1 / 8], [5 / 8, 7 / 8], [7 / 8, 3 / 8]]
+            )
+            ox = (pts[:, 0] - 0.5) * 2.0 / w
+            oy = (pts[:, 1] - 0.5) * -2.0 / h
             xg, yg = np.meshgrid(xs, ys, indexing="xy")
             ndc = np.stack(
                 [xg[..., None] + ox, yg[..., None] + oy], axis=-1
