@@ -33,7 +33,15 @@ from ..space.space import Space
 # tangent frame.
 _FACE_QUADS = np.zeros((6, 4, 3), np.float32)
 for _f in range(6):
-    _u, _v, _n = faces.FACE_TANGENT_FRAMES[_f].astype(np.float32)
+    # Positive cyclic tangents (NOT faces.FACE_TANGENT_FRAMES, whose signs
+    # follow the reference's rotation_from_nz for light interpolation and
+    # would place quad corners at negative offsets).
+    _axis = _f % 3
+    _u = np.zeros(3, np.float32)
+    _v = np.zeros(3, np.float32)
+    _u[(_axis + 1) % 3] = 1.0
+    _v[(_axis + 2) % 3] = 1.0
+    _n = faces.FACE_NORMALS[_f].astype(np.float32)
     # Negative faces lie on the cube's lower boundary (coordinate 0 along
     # the axis); positive faces on the upper boundary (coordinate 1).
     base = np.maximum(_n, 0.0)
@@ -164,10 +172,24 @@ def mesh_space(space: Space, greedy: bool = True, style: str | None = None) -> S
     """
     if style is None:
         style = "greedy" if greedy else "unit"
-    vis = visible_faces(space)
     ev_face_colors = np.stack(
         [space.evaluated(i).face_colors for i in range(space.palette_len())]
     )  # [P,6,4]
+    if style == "greedy":
+        visible_table = np.array(
+            [space.evaluated(i).visible_or_animated() for i in range(space.palette_len())],
+            np.uint8,
+        )
+        opaque_table = np.stack(
+            [space.evaluated(i).opaque for i in range(space.palette_len())]
+        ).astype(np.uint8)
+        native = _mesh_arrays_native(
+            space.contents, visible_table, opaque_table, ev_face_colors,
+            np.asarray(space.bounds.lower, np.float32),
+        )
+        if native is not None:
+            return native
+    vis = visible_faces(space)
     if style == "no_t_junction":
         return _mesh_arrays_triangulated(
             space.contents, vis, ev_face_colors,
@@ -247,6 +269,58 @@ def _mesh_arrays_triangulated(contents, vis, ev_face_colors, lower):
         opaque_range=ranges[True],
         transparent_range=ranges[False],
     )
+
+
+def _mesh_arrays_native(
+    contents: np.ndarray,
+    visible_table: np.ndarray,
+    opaque_faces_table: np.ndarray,
+    ev_face_colors: np.ndarray,
+    lower: np.ndarray,
+):
+    """Whole-space greedy meshing through the native C++ mesher
+    (native/space_mesher.cpp); returns a SpaceMesh or None when the
+    native component is unavailable. Quad rows expand to vertex buffers
+    as vectorized numpy."""
+    from ..native import mesh_space_greedy
+
+    rows = mesh_space_greedy(contents, visible_table, opaque_faces_table)
+    if rows is None:
+        return None
+    if len(rows) == 0:
+        z = np.zeros
+        return SpaceMesh(z((0, 3), np.float32), z((0, 4), np.float32), z((0,), np.uint32))
+    face = rows[:, 0]
+    axis = face % 3
+    u_ax = (axis + 1) % 3
+    v_ax = (axis + 2) % 3
+    n = len(rows)
+    base = np.zeros((n, 3), np.float32)
+    scale = np.ones((n, 3), np.float32)
+    r_idx = np.arange(n)
+    base[r_idx, axis] = rows[:, 1]
+    base[r_idx, u_ax] = rows[:, 2]
+    base[r_idx, v_ax] = rows[:, 3]
+    scale[r_idx, u_ax] = rows[:, 4]
+    scale[r_idx, v_ax] = rows[:, 5]
+    quads = _FACE_QUADS[face] * scale[:, None, :] + base[:, None, :] + lower
+    colors = ev_face_colors[rows[:, 6], face]  # [N,4]
+
+    opaque = colors[:, 3] >= 1.0
+    order = np.argsort(~opaque, kind="stable")
+    quads, colors, opaque = quads[order], colors[order], opaque[order]
+    n_op = int(opaque.sum())
+    positions = quads.reshape(-1, 3).astype(np.float32)
+    vcolors = np.repeat(colors, 4, axis=0).astype(np.float32)
+    tri = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    indices = (tri[None, :] + (np.arange(n, dtype=np.uint32) * 4)[:, None]).reshape(-1)
+    return SpaceMesh(
+        positions=positions,
+        colors=vcolors,
+        indices=indices,
+        opaque_range=(0, n_op * 6),
+        transparent_range=(n_op * 6, n * 6),
+    ).shrink_indices()
 
 
 def _mesh_arrays(

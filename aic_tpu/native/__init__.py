@@ -21,9 +21,77 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "triangulate.cpp")
 _SO = os.path.join(_DIR, "_triangulate.so")
+_MESH_SRC = os.path.join(_DIR, "space_mesher.cpp")
+_MESH_SO = os.path.join(_DIR, "_space_mesher.so")
 
 _lib = None
 _build_failed = False
+_mesh_lib = None
+_mesh_build_failed = False
+
+
+def _build(src, so):
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+            check=True,
+            capture_output=True,
+        )
+
+
+def _load_mesher():
+    global _mesh_lib, _mesh_build_failed
+    if _mesh_lib is not None or _mesh_build_failed:
+        return _mesh_lib
+    try:
+        _build(_MESH_SRC, _MESH_SO)
+        lib = ctypes.CDLL(_MESH_SO)
+        lib.mesh_space_greedy.restype = ctypes.c_int
+        lib.mesh_space_greedy.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _mesh_lib = lib
+    except Exception:
+        _mesh_build_failed = True
+    return _mesh_lib
+
+
+def mesh_space_greedy(contents, visible, opaque_faces):
+    """Native whole-space greedy face-rect extraction (space_mesher.cpp).
+
+    contents: u16[X,Y,Z]; visible: bool[P]; opaque_faces: bool[P,6].
+    Returns i32[N,7] rows [face, layer, u0, v0, du, dv, block_id], or
+    None when the native component is unavailable (callers fall back to
+    the Python path).
+    """
+    lib = _load_mesher()
+    if lib is None:
+        return None
+    contents = np.ascontiguousarray(contents, np.uint16)
+    visible = np.ascontiguousarray(visible, np.uint8)
+    opaque = np.ascontiguousarray(opaque_faces, np.uint8)
+    sx, sy, sz = contents.shape
+    cap = max(int(visible[contents].sum()) * 6 + 64, 1024)
+    out = np.empty((cap, 7), np.int32)
+    n = ctypes.c_int()
+    rc = lib.mesh_space_greedy(
+        contents.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        sx, sy, sz,
+        visible.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        opaque.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+        ctypes.byref(n),
+    )
+    if rc != 0:
+        return None
+    return out[: n.value].copy()
 
 
 def _load():
@@ -31,12 +99,7 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                check=True,
-                capture_output=True,
-            )
+        _build(_SRC, _SO)
         lib = ctypes.CDLL(_SO)
         lib.triangulate_plane.restype = ctypes.c_int
         lib.triangulate_plane.argtypes = [

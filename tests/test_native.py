@@ -172,3 +172,56 @@ class TestVoxelDetailMesh:
             & (fine.positions[:, 1] < 1.99)
         )
         assert inside.any()
+
+
+class TestNativeSpaceMesher:
+    """native/space_mesher.cpp: whole-space greedy face extraction."""
+
+    def test_quads_match_python_path(self):
+        import numpy as np
+
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.mesh.mesher import _mesh_arrays, _mesh_arrays_native, visible_faces
+        from aic_tpu.space import Space
+
+        rng = np.random.default_rng(3)
+        sp = Space(GridAab.cube(8))
+        blocks = [
+            block.from_color((1, 0, 0, 1)),
+            block.from_color((0, 1, 0, 1)),
+            block.from_color((0, 0.5, 1, 0.5)),
+        ]
+        for _ in range(60):
+            c = tuple(int(v) for v in rng.integers(0, 8, 3))
+            sp.set(c, blocks[int(rng.integers(0, 3))])
+        ev_face_colors = np.stack(
+            [sp.evaluated(i).face_colors for i in range(sp.palette_len())]
+        )
+        visible = np.array(
+            [sp.evaluated(i).visible_or_animated() for i in range(sp.palette_len())],
+            np.uint8,
+        )
+        opaque = np.stack(
+            [sp.evaluated(i).opaque for i in range(sp.palette_len())]
+        ).astype(np.uint8)
+        lower = np.asarray(sp.bounds.lower, np.float32)
+
+        native = _mesh_arrays_native(sp.contents, visible, opaque, ev_face_colors, lower)
+        assert native is not None
+        py = _mesh_arrays(sp.contents, visible_faces(sp), ev_face_colors, lower, True)
+        # Same total face area and triangle counts per pass.
+        assert native.triangle_count == py.triangle_count
+
+        def area(m, lo, hi):
+            tri = m.indices[lo:hi].reshape(-1, 3)
+            v = m.positions[tri]
+            return float(
+                np.linalg.norm(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1).sum()
+            )
+
+        assert abs(area(native, *native.opaque_range) - area(py, *py.opaque_range)) < 1e-3
+        assert (
+            abs(area(native, *native.transparent_range) - area(py, *py.transparent_range))
+            < 1e-3
+        )
