@@ -287,3 +287,70 @@ def test_reflectance_is_clamped():
     texel = np.asarray(st.light)[2, 1, 1]
     red = float(lightpack.np_decode_scalar(np.array(texel[0])))
     assert red <= 0.5 + 1e-3, red
+
+
+class TestReferenceProcedure:
+    """light/refproc.py: fast_evaluate_light seed + queue-procedure
+    emulation (updater.rs:531 fast_evaluate_light, space.rs:1494
+    evaluate_light(1))."""
+
+    def _scene(self):
+        import numpy as np
+
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space import Sky, Space, SpacePhysics
+
+        sp = Space(
+            GridAab.from_lower_size((0, 0, 0), (6, 6, 6)),
+            physics=SpacePhysics(sky=Sky.uniform((0.8, 0.8, 0.9))),
+        )
+        sp.fill(
+            GridAab.from_lower_size((0, 0, 0), (6, 1, 6)),
+            block.from_color((0.5, 0.5, 0.5, 1.0)),
+        )
+        sp.set((2, 1, 2), block.from_color((0.9, 0.2, 0.2, 1.0)))
+        return sp
+
+    def test_fast_seed_classification(self):
+        import numpy as np
+
+        from aic_tpu.light.refproc import PRIORITY_ESTIMATED, fast_evaluate_seed
+        from aic_tpu.math import lightpack
+
+        st, prio = fast_evaluate_seed(self._scene().snapshot())
+        L = np.asarray(st.light)
+        # Opaque floor interior cube → OPAQUE status, not queued.
+        assert L[3, 0, 3, 3] == lightpack.STATUS_OPAQUE
+        assert prio[3, 0, 3] == 0
+        # Air directly above the floor (visible-adjacent, uncovered) →
+        # sky +Y seed, queued at ESTIMATED.
+        assert L[4, 1, 4, 3] == lightpack.STATUS_VISIBLE
+        assert prio[4, 1, 4] == PRIORITY_ESTIMATED
+        sky_py = lightpack.np_encode_scalar(np.asarray(st.sky_faces)[4])
+        assert (L[4, 1, 4, :3] == sky_py).all()
+        # Air far from any visible block → NO_RAYS, not queued
+        # (updater.rs:569-571).
+        assert L[4, 3, 4, 3] == lightpack.STATUS_NO_RAYS
+        assert prio[4, 3, 4] == 0
+
+    def test_procedure_converges_close_to_fixed_point(self):
+        import numpy as np
+
+        from aic_tpu.light import evaluate_light
+        from aic_tpu.light.refproc import evaluate_light_reference
+        from aic_tpu.math import lightpack
+
+        st0 = self._scene().snapshot()
+        ref = evaluate_light_reference(st0)
+        fixed, _ = evaluate_light(st0)
+        a = np.asarray(ref.light).astype(int)
+        b = np.asarray(fixed.light).astype(int)
+        vis = (np.asarray(fixed.light)[..., 3] == lightpack.STATUS_VISIBLE) & (
+            np.asarray(ref.light)[..., 3] == lightpack.STATUS_VISIBLE
+        )
+        diff = np.abs(a[..., :3] - b[..., :3]).max(-1)[vis]
+        # The stalled field sits within a few packed steps of the fixed
+        # point (the updater's ≤1-difference cutoff per source).
+        assert np.median(diff) <= 1
+        assert diff.max() <= 6, diff.max()
