@@ -109,6 +109,12 @@ class Universe:
         self.bodies: Optional[Body] = None  # batched device pytree
         self.body_space: list[str] = []  # space per body row
         self.clock = Clock()
+        from ..profiling import Profiler
+
+        #: Per-phase step timings (the tracing/profiling surface; see
+        #: aic_tpu/profiling.py). `profiler.report()` is the info-text
+        #: payload.
+        self.profiler = Profiler()
         self.light_rounds_per_tick = 2
         self.light_batch_size = 256
         self._tick_action_index: dict[str, list] = {}
@@ -172,6 +178,7 @@ class Universe:
         info = UniverseStepInfo(tick=tick.ticks, bodies=len(self.body_space))
         if paused:
             return info
+        prof = self.profiler
 
         # Synchronize: palette re-evaluation for changed BlockDefs
         # (space/step.rs:76). BlockDef.touch() bumps epoch; spaces
@@ -191,10 +198,13 @@ class Universe:
                 self.resnapshot(name)
 
         # Step: tick actions (space/step.rs:114).
-        for name in self.spaces:
-            info.space_edits += self._run_tick_actions(name, tick)
+        with prof.span("tick_actions"):
+            for name in self.spaces:
+                info.space_edits += self._run_tick_actions(name, tick)
 
         # Behaviors (space/step.rs:367,405).
+        prof_behaviors = prof.span("behaviors")
+        prof_behaviors.__enter__()
         pending = UniverseTransaction()
         still = []
         for entry in self.behaviors:
@@ -218,26 +228,29 @@ class Universe:
         self.behaviors = still
         for name, txn in pending.spaces.items():
             info.space_edits += self._commit(name, txn)
+        prof_behaviors.__exit__(None, None, None)
 
         # Body physics (space/step.rs:68 body_physics_step_system).
-        if self.bodies is not None and self.body_space:
-            # Round 1: all bodies collide against the first space they
-            # belong to (per-space batching arrives with multi-space worlds).
-            name = self.body_space[0]
-            state = self.states[name]
-            gravity = self.spaces[name].physics.gravity
-            self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
+        with prof.span("physics"):
+            if self.bodies is not None and self.body_space:
+                # All bodies collide against the first space they belong
+                # to (per-space batching arrives with multi-space worlds).
+                name = self.body_space[0]
+                state = self.states[name]
+                gravity = self.spaces[name].physics.gravity
+                self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
 
         # Light updates (space/step.rs:338): fixed rounds per tick.
-        for name in self.spaces:
-            st = self.states[name]
-            if not st.light_enabled:
-                continue
-            for _ in range(self.light_rounds_per_tick):
-                st, stats = light_update_round(st, batch_size=self.light_batch_size)
-                info.light_updates += int(stats["updated"])
-                info.light_queue = int(stats["queue_remaining"])
-            self.states[name] = st
+        with prof.span("light"):
+            for name in self.spaces:
+                st = self.states[name]
+                if not st.light_enabled:
+                    continue
+                for _ in range(self.light_rounds_per_tick):
+                    st, stats = light_update_round(st, batch_size=self.light_batch_size)
+                    info.light_updates += int(stats["updated"])
+                    info.light_queue = int(stats["queue_remaining"])
+                self.states[name] = st
 
         info.wall_time_s = _time.perf_counter() - t0
         return info

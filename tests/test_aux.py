@@ -297,3 +297,32 @@ class TestAudio:
             assert w.getnchannels() == 2
             frames = w.getnframes()
         assert frames > 0.25 * 44100
+
+
+class TestProfiling:
+    """Profiling surface (SURVEY §5 tracing role; aic_tpu/profiling.py)."""
+
+    def test_spans_and_report(self):
+        import time
+
+        from aic_tpu.profiling import Profiler
+
+        p = Profiler()
+        with p.span("outer"):
+            with p.span("inner"):
+                time.sleep(0.01)
+        assert p.spans["outer"].calls == 1
+        assert p.spans["outer/inner"].total_s >= 0.01
+        assert "outer/inner" in p.report()
+        p.reset()
+        assert not p.spans
+
+    def test_universe_step_reports_phases(self):
+        from aic_tpu.content import TemplateParameters, build_universe
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 1
+        u.step()
+        names = set(u.profiler.spans)
+        assert {"tick_actions", "behaviors", "physics", "light"} <= names
+        assert "ms" in u.profiler.report()
