@@ -108,6 +108,31 @@ def _dungeon(p: TemplateParameters) -> Space:
     for gx in range(rooms):
         for gz in range(rooms):
             sp.set((gx * room + room // 2, h - 2, gz * room + room // 2), torch)
+    # Treasure chests in some rooms (demo_dungeon's chest-with-inventory
+    # role, dungeon/demo_dungeon.rs): the chest block carries an
+    # Inventory modifier whose item icons render inside the block face
+    # (InvInBlock, inv/inv_in_block.rs).
+    from ..block import InvInBlock, InventoryModifier
+
+    loot = [
+        from_color((0.9, 0.8, 0.1, 1.0), "gold"),
+        from_color((0.2, 0.9, 1.0, 1.0), "gem"),
+        from_color((0.8, 0.2, 0.1, 1.0), "potion"),
+    ]
+    chest_base = from_color((0.45, 0.3, 0.15, 1.0), "chest").with_attributes(
+        inventory=InvInBlock.default_for_size(4)
+    )
+    for gx in range(rooms):
+        for gz in range(rooms):
+            if rng.random() < 0.4:
+                icons = tuple(
+                    loot[int(rng.integers(0, len(loot)))] if rng.random() < 0.7 else None
+                    for _ in range(4)
+                )
+                sp.set(
+                    (gx * room + 1, 0, gz * room + 1),
+                    chest_base.with_modifier(InventoryModifier(icons=icons)),
+                )
     sp.spawn_position = np.array([room / 2, 2.0, room / 2])
     sp.fast_evaluate_light()
     return sp

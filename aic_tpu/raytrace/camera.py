@@ -32,7 +32,15 @@ class Viewport:
 
     @property
     def aspect(self) -> float:
+        # Zero-size viewports are legal (camera.rs is_empty); aspect falls
+        # back to 1 so matrix construction stays finite.
+        if self.height <= 0 or self.width <= 0:
+            return 1.0
         return self.width / self.height
+
+    def is_empty(self) -> bool:
+        """camera.rs:575 Viewport::is_empty."""
+        return self.width <= 0 or self.height <= 0
 
 
 def look_at_transform(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:

@@ -176,6 +176,13 @@ def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rende
     """Render to an sRGB image (host). Imperfections are *reported* in
     Rendering.flaws (flaws.rs contract), never silently dropped."""
     flaws: list[str] = []
+    if camera.viewport.is_empty():
+        # camera.rs Viewport::is_empty: nothing to render.
+        return Rendering(
+            camera.viewport.width,
+            camera.viewport.height,
+            np.zeros((camera.viewport.height, camera.viewport.width, 4), np.uint8),
+        )
     n_cubes = int(np.prod(state.contents.shape))
     if n_cubes > AUTO_WINDOW_VOLUME:
         from ..space.state import visible_light_volume, window_state

@@ -270,3 +270,17 @@ class TestContentHelpers:
                 cells.add((c[0], c[2]))
         # Perimeter of a 5x7 footprint = 2*(5+7)-4 = 20 cells
         assert len(cells) == 20
+
+
+def test_dungeon_has_inventory_chests():
+    from aic_tpu.block import InventoryModifier
+
+    sp = build_template_space("dungeon", TemplateParameters(seed=2, size=32))
+    chests = [
+        sp.palette[i]
+        for i in range(sp.palette_len())
+        if any(isinstance(m, InventoryModifier) for m in sp.palette[i].modifiers)
+    ]
+    assert chests, "dungeon should contain inventory chests"
+    ev = sp.evaluated(sp.palette.index(chests[0]))
+    assert ev.resolution == 16  # icons rendered the chest into voxels

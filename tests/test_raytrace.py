@@ -296,3 +296,22 @@ class TestResampling:
         red_full = (full.data[..., 0] > 150).sum()
         red_half = (half.data[..., 0] > 150).sum()
         assert abs(red_full - red_half) < red_full * 0.5 + 16
+
+
+def test_viewport_zero_renders_empty():
+    """viewport_zero (cases lib.rs:154): a 0-size viewport must not crash."""
+    import numpy as np
+
+    from aic_tpu import block
+    from aic_tpu.math.grid import GridAab
+    from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport, render
+    from aic_tpu.space import Space
+
+    sp = Space(GridAab.cube(2))
+    sp.set((0, 0, 0), block.from_color((1, 0, 0, 1)))
+    st = sp.snapshot()
+    for w, h in [(0, 0), (0, 8), (8, 0)]:
+        cam = Camera(GraphicsOptions(), Viewport(w, h))
+        cam.look_at((1.0, 1.0, 4.0), (1.0, 1.0, 1.0))
+        r = render(st, cam)
+        assert r.data.shape == (h, w, 4)
