@@ -217,6 +217,17 @@ class Session:
 
         t0 = _time.perf_counter()
         ch = self.character
+        if ch is None or ch.space_name not in self.universe.spaces:
+            # The character or its space is gone (test-renderers
+            # error_character_gone contract): draw succeeds with no data
+            # and reports the degradation instead of crashing.
+            vp = self.camera.viewport
+            return Rendering(
+                vp.width,
+                vp.height,
+                np.zeros((vp.height, vp.width, 4), np.uint8),
+                flaws=("NO_CHARACTER",),
+            )
         state = self.universe.get_state(ch.space_name)
         cam = self.eye_camera()
         light, trans = render_hdr(state, cam)

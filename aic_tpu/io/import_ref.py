@@ -96,6 +96,7 @@ class _Importer:
         self.spaces: dict[str, Space] = {}
         self.lights: dict[str, np.ndarray] = {}
         self.characters: list[tuple[str, str, dict]] = []
+        self.sounds: dict[str, object] = {}
 
     def run(self) -> Universe:
         for member in self.doc.get("members", []):
@@ -109,6 +110,8 @@ class _Importer:
                 self.block_defs[name] = member["value"]
             elif kind == "Character":
                 self.characters.append((name, "", member["value"]))
+            elif kind == "Sound":
+                self.sounds[name] = member["value"]
             else:
                 self.warnings.append(f"skipped member type {kind!r} ({name})")
 
@@ -127,7 +130,25 @@ class _Importer:
             u.states[name] = dataclasses.replace(st, light=jnp.asarray(light))
         for name, _, cs in self.characters:
             self._character(u, name, cs)
+        for name, sd in self.sounds.items():
+            u.sounds[name] = self._sound(name, sd)
         return u
+
+    def _sound(self, name: str, d: dict):
+        """SoundDefSer::SynthesizedSoundV1 (schema.rs:437-443) → our
+        SoundDef (sine synthesis with matching duration/frequency/
+        amplitude; our envelope decay defaults apply)."""
+        from ..universe.sound import SoundDef
+
+        if d.get("type") != "SynthesizedSoundV1":
+            self.warnings.append(f"unknown sound schema {d.get('type')!r} ({name})")
+            return SoundDef()
+        return SoundDef(
+            waveform="sine",
+            frequency=float(d["frequency"]),
+            duration=float(d["duration"]),
+            amplitude=float(d["amplitude"]),
+        )
 
     # -- members ---------------------------------------------------------
 
@@ -614,6 +635,19 @@ def save_alliscubesjson(universe, path: str) -> None:
                         "look_direction": [0.0, 0.0, -1.0],
                         "inventory": [],
                     },
+                },
+            }
+        )
+    for name, sd in getattr(universe, "sounds", {}).items():
+        members.append(
+            {
+                "name": {"Specific": name},
+                "member_type": "Sound",
+                "value": {
+                    "type": "SynthesizedSoundV1",
+                    "duration": float(sd.duration),
+                    "frequency": float(sd.frequency),
+                    "amplitude": float(sd.amplitude),
                 },
             }
         )

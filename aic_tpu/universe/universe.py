@@ -104,6 +104,8 @@ class Universe:
         self.spaces: dict[str, Space] = {}
         self.states: dict[str, object] = {}  # name -> SpaceState (device)
         self.block_defs: dict[str, object] = {}
+        #: Named SoundDef members (universe sound members, sound.rs role).
+        self.sounds: dict[str, object] = {}
         self.characters: dict[str, Character] = {}
         self.behaviors: list[tuple[str, Behavior, int]] = []  # (host, behavior, wake_tick)
         self.bodies: Optional[Body] = None  # batched device pytree

@@ -136,3 +136,18 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(u.states["world"].light), np.asarray(u2.states["world"].light)
         )
+
+
+def test_sound_member_roundtrip(tmp_path):
+    from aic_tpu.universe.sound import SoundDef
+
+    u = Universe()
+    u.sounds["ding"] = SoundDef(frequency=523.25, duration=0.12, amplitude=0.4)
+    path = tmp_path / "s.alliscubesjson"
+    save_alliscubesjson(u, str(path))
+    u2, warnings = load_alliscubesjson(str(path))
+    assert warnings == []
+    sd = u2.sounds["ding"]
+    assert abs(sd.frequency - 523.25) < 1e-6
+    assert abs(sd.duration - 0.12) < 1e-6
+    assert abs(sd.amplitude - 0.4) < 1e-6

@@ -269,3 +269,22 @@ class TestInputBindings:
         inp.keys = {"w"}
         assert np.linalg.norm(inp.movement()) == 0
         assert inp.command("w") == ("pause", None)
+
+
+def test_session_renders_without_character():
+    """error_character_gone (cases lib.rs:434): after the character and
+    its space are deleted, draw succeeds with no data + a flaw."""
+    from aic_tpu.apps import Session
+    from aic_tpu.content import TemplateParameters, build_universe
+    from aic_tpu.raytrace import Viewport
+
+    u = build_universe("cornell-box", TemplateParameters(size=8))
+    u.light_rounds_per_tick = 0
+    s = Session(u, viewport=Viewport(8, 8))
+    r1 = s.render()
+    assert r1.data.any()
+    del u.characters["player"]
+    r2 = s.render()
+    assert r2.data.shape == (8, 8, 4)
+    assert not r2.data.any()
+    assert "NO_CHARACTER" in r2.flaws
