@@ -53,6 +53,10 @@ class BlockAttributes:
     #: How an attached Inventory modifier renders inside the block
     #: (inv/inv_in_block.rs InvInBlock); EMPTY → inventory invisible.
     inventory: "InvInBlock" = None  # default set after InvInBlock defined
+    #: Ambient sound spectrum: 20 per-band noise gains
+    #: (sound/ambient.rs Band::COUNT; schema AmbientSoundV1.noise_bands),
+    #: or None for silence.
+    ambient_sound: tuple = None
 
 
 DEFAULT_ATTRIBUTES = BlockAttributes()

@@ -366,6 +366,11 @@ class _Importer:
                     ),
                 )
             )
+        if t == "AmbientSoundV1":
+            bands = tuple(float(v) for v in m.get("noise_bands", ()))
+            if any(bands):
+                return blk.with_attributes(ambient_sound=bands)
+            return blk
         if t == "RotationRuleV1":
             rule = m["rotation_rule"]
             return blk.with_attributes(
@@ -482,6 +487,10 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
                 "type": "RotationRuleV1",
                 "rotation_rule": {"type": "AttachV1", "by": "PY"},
             }
+        )
+    if a.ambient_sound is not None and any(a.ambient_sound):
+        mods.append(
+            {"type": "AmbientSoundV1", "noise_bands": [float(v) for v in a.ambient_sound]}
         )
     inv_cfg = a.inventory
     if inv_cfg is not None and inv_cfg.inventory_size:

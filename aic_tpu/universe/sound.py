@@ -55,3 +55,54 @@ DEFAULT_SOUNDS = {
 
 def fluff_sound_map() -> dict:
     return dict(DEFAULT_SOUNDS)
+
+
+# --- ambient sound (sound/ambient.rs) ---------------------------------------
+
+#: Number of ambient frequency bands (ambient.rs Band::COUNT).
+AMBIENT_BANDS = 20
+#: Center frequency of the lowest band / octave spacing (ambient.rs:25-27).
+FIRST_BAND_HZ = 20.0
+BAND_STEP_OCT = 0.5
+
+
+def band_frequency(index: int) -> float:
+    """Center frequency of band `index` (20 Hz .. ~14.5 kHz)."""
+    return FIRST_BAND_HZ * 2.0 ** (BAND_STEP_OCT * index)
+
+
+def band_from_frequency(hz: float) -> int:
+    """ambient.rs Band::from_frequency: nearest band index."""
+    return min(
+        max(int(round(np.log2(max(hz, 1e-6) / FIRST_BAND_HZ) / BAND_STEP_OCT)), 0),
+        AMBIENT_BANDS - 1,
+    )
+
+
+def synthesize_ambient(
+    noise_bands, duration: float = 1.0, sample_rate: int = 44100, seed: int = 0
+) -> np.ndarray:
+    """Render an ambient noise spectrum (f32[20] per-band gains) to mono
+    PCM: band-filtered noise built as sinusoids with random phase walk —
+    the listener-side role of the reference's ambient sound processing
+    (ambient.rs; the block-attribute gains come from
+    `BlockAttributes.ambient_sound`)."""
+    gains = np.asarray(noise_bands, np.float32)
+    n = max(int(duration * sample_rate), 1)
+    t = np.arange(n) / sample_rate
+    rng = np.random.default_rng(seed)
+    out = np.zeros(n, np.float32)
+    for i in range(min(len(gains), AMBIENT_BANDS)):
+        g = float(gains[i])
+        if g <= 0.0:
+            continue
+        f = band_frequency(i)
+        # A few detuned partials per band approximate narrowband noise.
+        for _ in range(3):
+            fj = f * (1.0 + rng.uniform(-0.15, 0.15))
+            phase = rng.uniform(0, 2 * np.pi)
+            out += (g / 3.0) * np.sin(2 * np.pi * fj * t + phase).astype(np.float32)
+    peak = np.abs(out).max()
+    if peak > 1.0:
+        out /= peak
+    return out

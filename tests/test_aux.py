@@ -326,3 +326,52 @@ class TestProfiling:
         names = set(u.profiler.spans)
         assert {"tick_actions", "behaviors", "physics", "light"} <= names
         assert "ms" in u.profiler.report()
+
+
+class TestAmbientSound:
+    """sound/ambient.rs bands + AmbientSoundV1 attribute."""
+
+    def test_band_frequencies(self):
+        from aic_tpu.universe.sound import band_frequency, band_from_frequency
+
+        assert abs(band_frequency(0) - 20.0) < 1e-6
+        assert abs(band_frequency(10) - 640.0) < 1.0  # ambient.rs doc list
+        assert band_from_frequency(20.0) == 0
+        assert band_from_frequency(640.0) == 10
+        assert band_from_frequency(1e6) == 19
+
+    def test_synthesize_ambient(self):
+        import numpy as np
+
+        from aic_tpu.universe.sound import synthesize_ambient
+
+        bands = [0.0] * 20
+        bands[10] = 0.5  # 640 Hz
+        pcm = synthesize_ambient(bands, duration=0.25)
+        assert len(pcm) == 11025
+        # Spectral peak near 640 Hz.
+        spec = np.abs(np.fft.rfft(pcm))
+        freqs = np.fft.rfftfreq(len(pcm), 1 / 44100)
+        peak = freqs[np.argmax(spec)]
+        assert 450 < peak < 900, peak
+
+    def test_attribute_roundtrip(self, tmp_path):
+        from aic_tpu import block
+        from aic_tpu.io.import_ref import load_alliscubesjson, save_alliscubesjson
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space import Space
+        from aic_tpu.universe import Universe
+
+        bands = tuple([0.0] * 9 + [0.3] + [0.0] * 10)
+        u = Universe()
+        sp = Space(GridAab.cube(2))
+        sp.set((0, 0, 0), block.from_color((1, 0.5, 0, 1), "fire").with_attributes(
+            ambient_sound=bands
+        ))
+        u.insert_space("world", sp)
+        path = tmp_path / "a.alliscubesjson"
+        save_alliscubesjson(u, str(path))
+        u2, warnings = load_alliscubesjson(str(path))
+        assert warnings == []
+        blk = u2.spaces["world"].block_at((0, 0, 0))
+        assert blk.attributes.ambient_sound == bands
