@@ -97,6 +97,7 @@ class _Importer:
         self.lights: dict[str, np.ndarray] = {}
         self.characters: list[tuple[str, str, dict]] = []
         self.sounds: dict[str, object] = {}
+        self.tags: list[str] = []
 
     def run(self) -> Universe:
         for member in self.doc.get("members", []):
@@ -112,6 +113,8 @@ class _Importer:
                 self.characters.append((name, "", member["value"]))
             elif kind == "Sound":
                 self.sounds[name] = member["value"]
+            elif kind == "Tag":
+                self.tags.append(name)
             else:
                 self.warnings.append(f"skipped member type {kind!r} ({name})")
 
@@ -132,6 +135,8 @@ class _Importer:
             self._character(u, name, cs)
         for name, sd in self.sounds.items():
             u.sounds[name] = self._sound(name, sd)
+        for t in self.tags:
+            u.tags.setdefault(t, None)
         return u
 
     def _sound(self, name: str, d: dict):
@@ -400,9 +405,26 @@ class _Importer:
     def _operation(self, op_d):
         if not op_d:
             return None
-        if op_d.get("type") == "BecomeV1":
+        t = op_d.get("type")
+        from ..universe.op import Alt, DestroyTo, Neighbors
+
+        if t == "BecomeV1":
             return Become(self._block(op_d["block"]))
-        self.warnings.append(f"unsupported operation {op_d.get('type')!r} ignored")
+        if t == "DestroyToV1":
+            return DestroyTo(self._block(op_d["block"]))
+        if t == "AltV1":
+            ops = tuple(
+                o for o in (self._operation(x) for x in op_d.get("ops", ())) if o
+            )
+            return Alt(ops=ops) if ops else None
+        if t == "NeighborsV1":
+            pairs = []
+            for off, sub in op_d.get("neighbors", ()):
+                sub_op = self._operation(sub)
+                if sub_op is not None:
+                    pairs.append((tuple(int(v) for v in off), sub_op))
+            return Neighbors(ops=tuple(pairs)) if pairs else None
+        self.warnings.append(f"unsupported operation {t!r} ignored")
         return None
 
 
