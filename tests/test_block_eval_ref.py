@@ -1,0 +1,163 @@
+"""Block-evaluation exact-value tests ported from the reference
+(all-is-cubes/src/block/eval/tests.rs). These pin the derived-color
+mathematics (orthographic face traces, transmittance weighting) to the
+reference's own published expectations."""
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.block import Block, Recur, evaluate
+from aic_tpu.math import faces
+from aic_tpu.math.grid import GridAab
+from aic_tpu.space import Space
+
+
+def voxels_fn(resolution, fn):
+    sp = Space(GridAab.from_lower_size((0, 0, 0), (resolution,) * 3))
+    for x in range(resolution):
+        for y in range(resolution):
+            for z in range(resolution):
+                b = fn((x, y, z))
+                if b is not None:
+                    sp.set((x, y, z), b)
+    return Block(Recur(space=sp, resolution=resolution))
+
+
+class TestTransparentVoxels:
+    def test_transparent_voxels_simple(self):
+        """eval/tests.rs:296 transparent_voxels_simple: exact overall and
+        per-face colors/opacity of an R4 block with one semi-transparent
+        column."""
+        r = 4
+        voxel_color = (1.0, 0.5, 0.0)
+        alpha = 0.5
+        blk = voxels_fn(
+            r,
+            lambda p: block.from_color(
+                voxel_color + ((alpha,) if (p[0] == 0 and p[2] == 0) else (1.0,))
+            ),
+        )
+        e = evaluate(blk)
+        expect_alpha = 1.0 - alpha / (r * r * 3.0)
+        np.testing.assert_allclose(
+            e.color, voxel_color + (expect_alpha,), atol=1e-6
+        )
+        one_face = voxel_color + (1.0 - alpha / (r * r),)
+        fc = e.face_colors
+        for f, expected in [
+            (faces.NX, voxel_color + (1.0,)),
+            (faces.NY, one_face),
+            (faces.NZ, voxel_color + (1.0,)),
+            (faces.PX, voxel_color + (1.0,)),
+            (faces.PY, one_face),
+            (faces.PZ, voxel_color + (1.0,)),
+        ]:
+            np.testing.assert_allclose(fc[f], expected, atol=1e-6, err_msg=str(f))
+        np.testing.assert_array_equal(
+            e.opaque, [False, False, False, True, False, True]
+        )
+        assert e.visible
+
+    def test_voxels_full_but_transparent(self):
+        """eval/tests.rs:389: a block that is air except one opaque voxel
+        has overall alpha 1/R²."""
+        r = 4
+        blk = voxels_fn(
+            r,
+            lambda p: block.from_color(
+                (0.0, 0.0, 0.0, 1.0 if p == (1, 1, 1) else 0.0)
+            ),
+        )
+        e = evaluate(blk)
+        np.testing.assert_allclose(e.color[3], 1.0 / (r * r), atol=1e-6)
+        assert e.resolution == r
+        assert not e.opaque.any()
+        assert e.visible
+
+    def test_voxels_partial_not_filling(self):
+        """eval/tests.rs:417: a 2x4x4 space under R4 → alpha 8/12, opaque
+        only on NX."""
+        r = 4
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (2, 4, 4)))
+        sp.fill(sp.bounds, block.from_color((1.0, 1.0, 1.0, 1.0)))
+        e = evaluate(Block(Recur(space=sp, resolution=r)))
+        np.testing.assert_allclose(e.color, (1.0, 1.0, 1.0, 8.0 / 12.0), atol=1e-6)
+        assert e.resolution == r
+        np.testing.assert_array_equal(
+            e.opaque, [True, False, False, False, False, False]
+        )
+        assert e.visible
+
+    def test_overall_color_ignores_interior(self):
+        """eval/tests.rs:73: hidden interior voxels do not affect the
+        derived color."""
+        r = 8
+        outer = (1.0, 0.0, 0.0, 1.0)
+        inner = (0.0, 1.0, 0.0, 1.0)
+        blk = voxels_fn(
+            r,
+            lambda p: block.from_color(
+                inner if all(0 < c < r - 1 for c in p) else outer
+            ),
+        )
+        e = evaluate(blk)
+        np.testing.assert_allclose(e.color, outer, atol=1e-6)
+
+
+class TestRecurOffset:
+    def test_recur_with_offset(self):
+        """eval/tests.rs:500: Recur with a nonzero offset reads the
+        shifted region of the space."""
+        r = 4
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (2 * r, r, r)))
+        for x in range(2 * r):
+            for y in range(r):
+                for z in range(r):
+                    sp.set(
+                        (x, y, z),
+                        block.from_color(
+                            (min(x / 8.0, 1.0), min(y / 8.0, 1.0), min(z / 8.0, 1.0), 1.0)
+                        ),
+                    )
+        e = evaluate(Block(Recur(space=sp, resolution=r, offset=(r, 0, 0))))
+        # voxel (0,0,0) should carry the color of space cube (4,0,0).
+        np.testing.assert_allclose(
+            e.voxels.color[0, 0, 0], (0.5, 0.0, 0.0, 1.0), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            e.voxels.color[3, 2, 1], (7 / 8, 2 / 8, 1 / 8, 1.0), atol=1e-6
+        )
+
+    def test_recur_offset_out_of_bounds_is_invisible(self):
+        """eval/tests.rs:537 overflow regression shape: an offset that
+        misses the space entirely yields an invisible block, not a crash."""
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (4, 4, 4)))
+        sp.fill(sp.bounds, block.from_color((1, 1, 1, 1)))
+        e = evaluate(Block(Recur(space=sp, resolution=4, offset=(10_000, -10_000, 0))))
+        assert not e.visible_or_animated()
+
+
+class TestColorRegressions:
+    def test_huge_color_with_move_does_not_crash(self):
+        """eval/tests.rs:681 color_evaluation_regression_1."""
+        from aic_tpu.block import Move
+
+        blk = block.from_color((1e28, 1e28, 1e28, 1.0)).with_modifier(
+            Move(face=faces.NX, distance=0)
+        )
+        ev = evaluate(blk)
+        assert np.isfinite(ev.face_colors).all()
+
+    def test_nan_emission_composite_does_not_crash(self):
+        """eval/tests.rs:700 color_evaluation_regression_2: composite of
+        AIR with an infinite-emission near-zero-color block stays finite."""
+        from aic_tpu.block import AIR, Atom, Composite
+
+        src = Block(
+            Atom(color=(0.0, 0.0, 9.1835e-41, 0.0), emission=(float("inf"), 1.5783e-41, 0.0))
+        )
+        ev = evaluate(AIR.with_modifier(Composite(source=src, operator="over")))
+        # No NaNs in the derived colors (consistency_check analog).
+        assert not np.isnan(ev.face_colors).any()
+        assert not np.isnan(ev.color).any()
