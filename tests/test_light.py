@@ -354,3 +354,42 @@ class TestReferenceProcedure:
         # point (the updater's ≤1-difference cutoff per source).
         assert np.median(diff) <= 1
         assert diff.max() <= 6, diff.max()
+
+
+def test_light_source_self_illumination_opaque_exact():
+    """light/tests.rs:233 light_source_self_illumination_opaque: the
+    reference's exact adjacent-cube light values for an emissive opaque
+    block in a black-sky 3³ space (bit-exact at the packed level)."""
+    import numpy as np
+
+    from aic_tpu.block import Atom, Block
+    from aic_tpu.light import evaluate_light
+    from aic_tpu.math import lightpack
+    from aic_tpu.math.grid import GridAab
+    from aic_tpu.space import Sky, Space, SpacePhysics
+
+    sp = Space(
+        GridAab.from_lower_size((0, 0, 0), (3, 3, 3)),
+        physics=SpacePhysics(sky=Sky.uniform((0.0, 0.0, 0.0))),
+    )
+    sp.set((1, 1, 1), Block(Atom(color=(1, 1, 1, 1), emission=(0.5, 1.0, 2.0))))
+    st, _ = evaluate_light(sp.snapshot())
+    L = np.asarray(st.light)
+
+    def decoded(c):
+        return [float(lightpack.np_decode_scalar(np.array(v))) for v in L[c][:3]]
+
+    np.testing.assert_allclose(decoded((1, 1, 1)), [0.5, 1.0, 2.0], rtol=1e-5)
+    expected = {
+        (0, 1, 1): [0.13397168, 0.26794338, 0.53588676],
+        (1, 0, 1): [0.1649385, 0.32987696, 0.6597539],
+        (1, 1, 0): [0.21763763, 0.43527526, 0.8705506],
+        (2, 1, 1): [0.13397168, 0.26794338, 0.53588676],
+        (1, 2, 1): [0.1649385, 0.32987696, 0.6597539],
+        (1, 1, 2): [0.21763763, 0.43527526, 0.8705506],
+    }
+    for cube, vals in expected.items():
+        np.testing.assert_allclose(decoded(cube), vals, rtol=2e-3, err_msg=str(cube))
+        # Packed-level equality with the reference's values.
+        packed_expected = lightpack.np_encode_scalar(np.asarray(vals))
+        np.testing.assert_array_equal(L[cube][:3], packed_expected, err_msg=str(cube))

@@ -69,3 +69,27 @@ def test_golden_recursive_fog():
     opts = GraphicsOptions(lighting_display="none", fog="physical", transparency="surface")
     img = _render_case(st, (14.0, 12.0, 20.0), (4.5, 4.5, 4.5), opts)
     _case("recursive_fog", img)
+
+
+def test_golden_atrium_overview():
+    """Self-golden pinning the flagship atrium scene (bench north-star
+    geometry) against regressions."""
+    from aic_tpu.content import atrium
+
+    sp = atrium(width=30, depth=20, floors=2)
+    st = sp.snapshot()
+    opts = GraphicsOptions(lighting_display="flat", fog="none")
+    eye = np.array([15.0, 4.0, 6.0])
+    img = _render_case(st, eye, (15.0, 5.0, 10.0), opts, size=64)
+    _case("atrium_overview", img)
+
+
+def test_golden_demo_city_overview():
+    """Self-golden for demo-city (exhibits visible along the +Z road)."""
+    from aic_tpu.content import demo_city
+
+    sp = demo_city(seed=1, size=48)
+    st = sp.snapshot()
+    opts = GraphicsOptions(lighting_display="flat", fog="none")
+    img = _render_case(st, np.array([0.0, 14.0, 30.0]), (0.0, 2.0, 0.0), opts, size=64)
+    _case("demo_city_overview", img)
