@@ -454,42 +454,73 @@ def _upsample(v: Evoxels, r: int) -> Evoxels:
     return Evoxels(r, rep(v.color), rep(v.emission), rep(v.selectable), rep(v.collision))
 
 
-def _composite(src: Evoxels, dst: Evoxels, op: str = "over") -> Evoxels:
-    """Per-voxel Porter–Duff compositing (composite.rs CompositeOperator:
-    Over / In / Out / Atop), expressed by the standard source/destination
-    factors: out = S·sa·Fa + D·da·Fb, out_a = sa·Fa + da·Fb."""
-    src, dst = _unify_resolution(src, dst)
-    sa = src.color[..., 3:4]
-    da = dst.color[..., 3:4]
+def _alpha_blend(op: str, source, sa, destination, da):
+    """CompositeOperator::alpha_blend (composite.rs:586-625), exactly:
+    Over mixes STRAIGHT colors by source alpha only (not classic
+    premultiplied Porter–Duff); In/Out keep the source color; Atop takes
+    the destination's alpha. Returns (rgb, alpha)."""
     if op == "over":
-        fa, fb = np.ones_like(da), 1.0 - sa
+        rgb = source * sa + destination * (1.0 - sa)
+        alpha = np.clip(sa + (1.0 - sa) * da, 0.0, 1.0)
     elif op == "in":
-        fa, fb = da, np.zeros_like(sa)
+        rgb, alpha = source, sa * da
     elif op == "out":
-        fa, fb = 1.0 - da, np.zeros_like(sa)
+        rgb, alpha = source, sa * (1.0 - da)
     elif op == "atop":
-        fa, fb = da, 1.0 - sa
+        rgb = source * sa + destination * (1.0 - sa)
+        alpha = da
+        rgb = np.where(alpha > 0.0, rgb, 0.0)
     else:
         raise ValueError(f"unknown CompositeOperator {op!r}")
-    out_a = sa * fa + da * fb
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out_rgb = np.where(
-            out_a > 0,
-            (src.color[..., :3] * sa * fa + dst.color[..., :3] * da * fb)
-            / np.maximum(out_a, 1e-9),
-            0.0,
-        )
-    src_present = (sa * fa) > 0
-    dst_present = (da * fb) > 0
+    return rgb, alpha
+
+
+def _blend_binary(op: str, source, destination):
+    """CompositeOperator::blend_binary (composite.rs:629-636)."""
+    if op == "over":
+        return source | destination
+    if op == "in":
+        return source & destination
+    if op == "out":
+        return source & ~destination
+    return destination  # atop
+
+
+def _composite(src: Evoxels, dst: Evoxels, op: str = "over") -> Evoxels:
+    """Per-voxel compositing with the reference's exact blend semantics
+    (composite.rs:530-583 blend_evoxel): color via `_alpha_blend` on
+    clamped straight colors; emission via the same blend on (emission,
+    color-alpha) then premultiplied by the output alpha; selectable and
+    collision presence via `_blend_binary`, collision value preferring
+    the source's."""
+    src, dst = _unify_resolution(src, dst)
+    sa = np.clip(src.color[..., 3:4], 0.0, 1.0)
+    da = np.clip(dst.color[..., 3:4], 0.0, 1.0)
+    s_rgb = np.clip(src.color[..., :3], 0.0, 1.0)
+    d_rgb = np.clip(dst.color[..., :3], 0.0, 1.0)
+
+    out_rgb, out_a = _alpha_blend(op, s_rgb, sa, d_rgb, da)
+    em_blend, em_a = _alpha_blend(op, src.emission, sa, dst.emission, da)
+    out_emission = em_blend * em_a  # premultiply (composite.rs:555-557)
+
+    src_something = src.collision != COLLISION_NONE
+    dst_something = dst.collision != COLLISION_NONE
+    coll_something = _blend_binary(op, src_something, dst_something)
+    collision = np.where(
+        coll_something,
+        np.where(src_something, src.collision, dst.collision),
+        COLLISION_NONE,
+    ).astype(np.uint8)
+    selectable = _blend_binary(op, src.selectable, dst.selectable)
+
     return Evoxels(
         src.resolution,
         np.concatenate([out_rgb, out_a], axis=-1).astype(np.float32),
-        (src.emission * fa + dst.emission * fb).astype(np.float32),
-        (src.selectable & src_present[..., 0]) | (dst.selectable & dst_present[..., 0]),
-        np.maximum(
-            np.where(src_present[..., 0], src.collision, COLLISION_NONE),
-            np.where(dst_present[..., 0], dst.collision, COLLISION_NONE),
+        np.nan_to_num(out_emission, nan=0.0, posinf=3.4e38, neginf=0.0).astype(
+            np.float32
         ),
+        selectable,
+        collision,
     )
 
 

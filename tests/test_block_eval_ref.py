@@ -161,3 +161,90 @@ class TestColorRegressions:
         # No NaNs in the derived colors (consistency_check analog).
         assert not np.isnan(ev.face_colors).any()
         assert not np.isnan(ev.color).any()
+
+
+class TestCompositeBlend:
+    """Per-voxel blend contracts (composite.rs tests :985-1080: over/in
+    emission + collision tables)."""
+
+    def _blend(self, op, src, dst):
+        from aic_tpu.block.eval import Evoxels, _composite
+
+        def mk(color, emission=(0, 0, 0), collision=1):
+            v = Evoxels.uniform(color, emission=emission, resolution=1)
+            v.collision[:] = collision
+            return v
+
+        out = _composite(mk(*src), mk(*dst), op)
+        return (
+            tuple(np.round(out.color[0, 0, 0], 6)),
+            tuple(np.round(out.emission[0, 0, 0], 6)),
+            int(out.collision[0, 0, 0]),
+        )
+
+    def _emit(self, emission, alpha):
+        return ((0, 0, 0, alpha), emission)
+
+    def test_over_emission(self):
+        red_1 = self._emit((1, 0, 0), 1.0)
+        green_05 = self._emit((0, 1, 0), 0.5)
+        none_1 = self._emit((0, 0, 0), 1.0)
+        none_0 = self._emit((0, 0, 0), 0.0)
+        cases = [
+            (red_1, none_1, (1, 0, 0)),
+            (none_1, red_1, (0, 0, 0)),
+            (red_1, red_1, (1, 0, 0)),
+            (red_1, none_0, (1, 0, 0)),
+            (none_0, red_1, (1, 0, 0)),
+            (red_1, green_05, (1, 0, 0)),
+            (green_05, red_1, (0.5, 0.5, 0)),
+            (green_05, green_05, (0, 0.75, 0)),
+        ]
+        for src, dst, want in cases:
+            _, em, _ = self._blend("over", src, dst)
+            np.testing.assert_allclose(em, want, atol=1e-6, err_msg=f"{src} over {dst}")
+
+    def test_in_emission(self):
+        red_1 = self._emit((1, 0, 0), 1.0)
+        green_05 = self._emit((0, 1, 0), 0.5)
+        none_0 = self._emit((0, 0, 0), 0.0)
+        cases = [
+            (red_1, green_05, (0.5, 0, 0)),
+            (green_05, red_1, (0, 0.5, 0)),
+            (green_05, green_05, (0, 0.25, 0)),
+            (red_1, none_0, (0, 0, 0)),
+        ]
+        for src, dst, want in cases:
+            _, em, _ = self._blend("in", src, dst)
+            np.testing.assert_allclose(em, want, atol=1e-6, err_msg=f"{src} in {dst}")
+
+    def test_collision_tables(self):
+        from aic_tpu.block import COLLISION_HARD, COLLISION_NONE
+
+        H, N = COLLISION_HARD, COLLISION_NONE
+        w = (1, 1, 1, 1.0)
+
+        def coll(op, s, d):
+            from aic_tpu.block.eval import Evoxels, _composite
+
+            sv = Evoxels.uniform(w, resolution=1)
+            sv.collision[:] = s
+            dv = Evoxels.uniform(w, resolution=1)
+            dv.collision[:] = d
+            return int(_composite(sv, dv, op).collision[0, 0, 0])
+
+        # over: H|H→H  N|N→N  H|N→H  N|H→H (composite.rs over_collision)
+        assert coll("over", H, H) == H
+        assert coll("over", N, N) == N
+        assert coll("over", H, N) == H
+        assert coll("over", N, H) == H
+        # in: H&H→H else N (in_collision)
+        assert coll("in", H, H) == H
+        assert coll("in", N, N) == N
+        assert coll("in", H, N) == N
+        assert coll("in", N, H) == N
+
+    def test_over_silly_floats_no_crash(self):
+        c = (2e25, 2e25, 2e25, 1.0)
+        rgba, em, _ = self._blend("over", (c, (0, 0, 0)), (c, (0, 0, 0)))
+        assert all(np.isfinite(rgba))
