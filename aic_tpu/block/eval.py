@@ -15,6 +15,7 @@ blocks; exceeding the budget yields the error block like the reference's
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -539,7 +540,16 @@ def _zoom(v: Evoxels, m: model.Zoom) -> Evoxels:
 
 
 def _move(v: Evoxels, m: model.Move) -> Evoxels:
-    """Translate with cropping (move.rs): distance in 1/256 cube units."""
+    """Translate with cropping (move.rs): distance in 1/256 cube units.
+
+    The output resolution is promoted to lcm(input, movement)
+    resolution (move.rs:120-123) so e.g. an atom moved half a cube
+    becomes an R2 voxel slab, capped at R128 like the reference's
+    Resolution::MAX.
+    """
+    movement_res = 256 // math.gcd(m.distance % 256 or 256, 256)
+    r = min(128, math.lcm(v.resolution, movement_res))
+    v = _upsample(v, r) if r > v.resolution else v
     r = v.resolution
     shift_voxels = int(round(m.distance / 256.0 * r))
     axis = m.face % 3

@@ -329,10 +329,13 @@ class _Importer:
             )
         if t == "Move":
             mv = m
+            # Reference distance is in 1/resolution cube units
+            # (move.rs:33); ours is 1/256ths — convert.
+            res = int(mv.get("resolution", 16))
             return blk.with_modifier(
                 Move(
                     face=_FACE_NAMES[mv["direction"]],
-                    distance=int(mv["distance"]),
+                    distance=int(round(int(mv["distance"]) * 256 / res)),
                     velocity=int(mv.get("velocity", 0)),
                 )
             )
@@ -555,12 +558,18 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
                 {"type": "ZoomV1", "scale": m.scale, "offset": list(m.offset)}
             )
         elif isinstance(m, Move):
+            # Our distance is in 1/256ths; the schema wants units of
+            # 1/resolution with resolution ≤ R128. Pick the coarsest
+            # resolution representing the distance exactly.
+            for res in (1, 2, 4, 8, 16, 32, 64, 128):
+                if m.distance * res % 256 == 0:
+                    break
             mods.append(
                 {
                     "type": "Move",
                     "direction": faces.FACE_NAMES[m.face],
-                    "resolution": 16,
-                    "distance": m.distance,
+                    "resolution": res,
+                    "distance": m.distance * res // 256,
                     "velocity": m.velocity,
                     "schedule": {"type": "ScheduleV1", "period": 1},
                 }

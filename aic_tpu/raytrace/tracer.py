@@ -943,7 +943,14 @@ def trace_rays(
             all_hits.append(
                 {
                     k: st[k]
-                    for k in ("hit_kind", "hit_face", "hit_t", "hit_cube", "hit_idx")
+                    for k in (
+                        "hit_kind",
+                        "hit_face",
+                        "hit_t",
+                        "hit_cube",
+                        "hit_idx",
+                        "hit_vflat",
+                    )
                 }
             )
         phase_illum = illum_override if _phase == 0 else None

@@ -248,3 +248,58 @@ class TestCompositeBlend:
         c = (2e25, 2e25, 2e25, 1.0)
         rgba, em, _ = self._blend("over", (c, (0, 0, 0)), (c, (0, 0, 0)))
         assert all(np.isfinite(rgba))
+
+
+class TestMoveEval:
+    """move.rs:252 move_atom_block_evaluation / :309
+    move_voxel_block_evaluation_same_resolution: a red block displaced
+    PY by half a cube (reference R2 distance 1 == our 128/256ths)."""
+
+    def _check_half_py(self, blk):
+        from aic_tpu.block import Move
+
+        moved = blk.with_modifier(Move(face=faces.PY, distance=128))
+        e = evaluate(moved)
+        assert e.resolution == 2
+        color = np.asarray(e.voxels.color)
+        # Occupied slab is y == 1 (bounds [0,1,0] size [2,1,2]).
+        np.testing.assert_allclose(color[:, 1, :, 3], 1.0)
+        np.testing.assert_allclose(color[:, 0, :, 3], 0.0)
+        np.testing.assert_allclose(e.color, (1, 0, 0, 2 / 3), atol=1e-6)
+        half = (1, 0, 0, 0.5)
+        full = (1, 0, 0, 1.0)
+        for f, want in [
+            (faces.NX, half),
+            (faces.NY, full),
+            (faces.NZ, half),
+            (faces.PX, half),
+            (faces.PY, full),
+            (faces.PZ, half),
+        ]:
+            np.testing.assert_allclose(
+                e.face_colors[f], want, atol=1e-6, err_msg=str(f)
+            )
+        want_opaque = np.zeros(6, bool)
+        want_opaque[faces.PY] = True
+        np.testing.assert_array_equal(e.opaque, want_opaque)
+        assert e.visible
+
+    def test_move_atom_block_evaluation(self):
+        self._check_half_py(block.from_color((1.0, 0.0, 0.0, 1.0)))
+
+    def test_move_voxel_block_evaluation_same_resolution(self):
+        self._check_half_py(
+            voxels_fn(2, lambda p: block.from_color((1.0, 0.0, 0.0, 1.0)))
+        )
+
+    def test_move_full_cube_is_invisible(self):
+        """Displacement ≥ one cube leaves nothing (move.rs displaced
+        bounds intersection empty → air)."""
+        from aic_tpu.block import Move
+
+        e = evaluate(
+            block.from_color((1, 0, 0, 1)).with_modifier(
+                Move(face=faces.PX, distance=256)
+            )
+        )
+        assert not e.visible
