@@ -94,6 +94,24 @@ class Body:
     def stack(bodies: list) -> "Body":
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bodies)
 
+    def set_position(self, position) -> "Body":
+        """Functional setter; a non-finite input is ignored wholesale
+        (body.rs set_position / tests.rs position_nan_ignored)."""
+        p = jnp.asarray(position, jnp.float32)
+        ok = jnp.isfinite(p).all()
+        return dataclasses.replace(
+            self, position=jnp.where(ok, p, self.position)
+        )
+
+    def set_velocity(self, velocity) -> "Body":
+        """Functional setter; a non-finite input is ignored wholesale
+        (body.rs set_velocity / tests.rs velocity_nan_ignored)."""
+        v = jnp.asarray(velocity, jnp.float32)
+        ok = jnp.isfinite(v).all()
+        return dataclasses.replace(
+            self, velocity=jnp.where(ok, v, self.velocity)
+        )
+
 
 def _collide_segment(state: SpaceState, pos, delta, box_lo, box_hi):
     """One collide_and_advance (step.rs:592) for |delta| <= 1 cube.
@@ -402,7 +420,11 @@ def _step_single(state: SpaceState, body: Body, dt, gravity):
             )
             return (new_pos, d_new, vel_new, contacts, fuel - 1)
 
-        init = (body.position, delta, velocity, jnp.zeros(6, bool), jnp.int32(64))
+        # Fuel covers the whole sweep (the reference's collide_along_ray
+        # also walks every cube): one segment per cube of motion, plus
+        # slack for sliding re-segments.
+        fuel0 = jnp.ceil(jnp.abs(delta).max()).astype(jnp.int32) + 8
+        init = (body.position, delta, velocity, jnp.zeros(6, bool), fuel0)
         pos, _, vel, contacts, _ = jax.lax.while_loop(cond, step, init)
         return pos, vel, contacts
 
