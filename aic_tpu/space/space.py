@@ -56,6 +56,11 @@ class Space:
         self._palette: list[Block] = [AIR]
         self._evaluated: list[EvaluatedBlock] = [AIR_EVALUATED]
         self._block_to_index: dict = {AIR: 0}
+        #: Recycled palette slots (palette.rs refcount reuse, collected
+        #: lazily in bulk by `_collect_garbage`). Slot 0 stays AIR
+        #: forever — device tables treat index 0 as air (a documented
+        #: deviation from the reference, which can recycle it).
+        self._free_slots: list[int] = []
         self.contents = np.zeros(bounds.size, np.uint16)
         self.light = np.zeros(bounds.size + (4,), np.uint8)
         self.light_dirty = np.zeros(bounds.size, np.uint8)
@@ -79,18 +84,59 @@ class Space:
         return len(self._palette)
 
     def ensure_block(self, block: Block) -> int:
-        """Dedup-intern a block, evaluating it (space/palette.rs)."""
+        """Dedup-intern a block, evaluating it (space/palette.rs).
+
+        Recycles garbage-collected slots before growing; a full palette
+        triggers a GC pass (the lazy-bulk analog of the reference's
+        per-set refcount free)."""
         idx = self._block_to_index.get(block)
         if idx is not None:
             return idx
-        if len(self._palette) >= MAX_PALETTE:
-            raise ValueError("palette full (65536 blocks)")
-        self._palette.append(block)
-        self._evaluated.append(evaluate(block))
-        idx = len(self._palette) - 1
+        if not self._free_slots and len(self._palette) >= MAX_PALETTE:
+            self._collect_garbage()
+        if self._free_slots:
+            idx = self._free_slots.pop()
+            self._palette[idx] = block
+            self._evaluated[idx] = evaluate(block)
+        else:
+            if len(self._palette) >= MAX_PALETTE:
+                raise ValueError("palette full (65536 blocks in use)")
+            self._palette.append(block)
+            self._evaluated.append(evaluate(block))
+            idx = len(self._palette) - 1
         self._block_to_index[block] = idx
         self.epoch += 1
         return idx
+
+    def _collect_garbage(self) -> int:
+        """Free palette slots for blocks no longer present in contents
+        (space/tests.rs removed_blocks_are_forgotten semantics, done in
+        one bulk pass). Returns the number of slots freed."""
+        counts = np.bincount(
+            self.contents.ravel(), minlength=len(self._palette)
+        )
+        freed = 0
+        for idx in range(1, len(self._palette)):
+            if counts[idx] == 0 and self._palette[idx] is not AIR:
+                blk = self._palette[idx]
+                if self._block_to_index.get(blk) == idx:
+                    del self._block_to_index[blk]
+                self._palette[idx] = AIR
+                self._evaluated[idx] = AIR_EVALUATED
+                self._free_slots.append(idx)
+                freed += 1
+        if freed:
+            self.epoch += 1
+        return freed
+
+    def distinct_blocks(self) -> list[Block]:
+        """Blocks currently present in the space, in palette-index order
+        (space.rs distinct_blocks; our order deviates from the reference
+        where its index recycling differs)."""
+        counts = np.bincount(
+            self.contents.ravel(), minlength=len(self._palette)
+        )
+        return [b for i, b in enumerate(self._palette) if counts[i] > 0]
 
     def reevaluate_palette(self):
         """Re-run evaluation for all palette entries (the `Synchronize`
@@ -142,8 +188,18 @@ class Space:
         self._edit_log = set()
         return out
 
-    def fill(self, region: GridAab, block_or_fn) -> None:
-        """space.rs:1390 fill/fill_uniform (host path)."""
+    def fill(self, region: GridAab, block_or_fn, clip: bool = True) -> None:
+        """space.rs:1390 fill/fill_uniform (host path).
+
+        With `clip` (the default) the region is intersected with the
+        space bounds — a deliberate convenience deviation for content
+        generators. `clip=False` matches the reference exactly: an
+        out-of-bounds region raises (space/tests.rs fill_out_of_bounds).
+        """
+        if not clip and region.intersection(self.bounds).volume() != region.volume():
+            raise IndexError(
+                f"fill region {region} is outside of the Space bounds {self.bounds}"
+            )
         region = region.intersection(self.bounds)
         sl = region.to_slices(self.bounds)
         if isinstance(block_or_fn, Block):
@@ -162,6 +218,27 @@ class Space:
         self.light_dirty[border.to_slices(self.bounds)] = np.maximum(
             self.light_dirty[border.to_slices(self.bounds)], 255
         )
+
+    def extract(self, region: GridAab) -> "Space":
+        """Copy a sub-region into a new Space (space.rs:extract; our form
+        returns a Space rather than a generic Vol). Raises when the
+        region is not contained in the bounds, like the reference's
+        assertion."""
+        if region.intersection(self.bounds).volume() != region.volume():
+            raise IndexError(
+                f"extract region {region} is outside of the Space bounds {self.bounds}"
+            )
+        out = Space(region, physics=self.physics)
+        sl = region.to_slices(self.bounds)
+        src = self.contents[sl]
+        if src.size:
+            remap = {}
+            for idx in np.unique(src):
+                remap[int(idx)] = out.ensure_block(self._palette[int(idx)])
+            out.contents = np.vectorize(remap.get, otypes=[np.uint16])(src)
+        out.light = self.light[sl].copy()
+        out.light_dirty = self.light_dirty[sl].copy()
+        return out
 
     def _mark_light_dirty_around(self, rel):
         x, y, z = rel
