@@ -14,12 +14,16 @@ from .cursor import (
     Cursor,
     CustomTool,
     Inventory,
+    InventoryConflict,
+    InventoryTransaction,
     PlaceBlock,
     RemoveBlock,
+    Stack,
     Tool,
     click,
     cursor_raycast,
     free_editing_inventory,
+    stack_limit,
 )
 from .universe import Behavior, Character, Clock, Tick, Universe, UniverseStepInfo
 
@@ -29,6 +33,7 @@ __all__ = [
     "TransactionConflict", "UniverseTransaction", "Behavior", "Character",
     "Clock", "Tick", "Universe", "UniverseStepInfo",
     "Activate", "CopyFromSpace", "Cursor", "CustomTool", "Inventory",
-    "PlaceBlock", "RemoveBlock", "Tool", "click", "cursor_raycast",
-    "free_editing_inventory",
+    "InventoryConflict", "InventoryTransaction", "PlaceBlock",
+    "RemoveBlock", "Stack", "Tool", "click", "cursor_raycast",
+    "free_editing_inventory", "stack_limit",
 ]

@@ -180,6 +180,18 @@ def _face_normal(face: int):
     return _f.FACE_NORMALS[face] if face < 6 else (0, 0, 0)
 
 
+#: StackLimit::Standard (inventory.rs:383); One-limit tools never stack.
+STANDARD_STACK_LIMIT = 100
+
+
+def stack_limit(tool: Tool) -> int:
+    """tool.rs:319 stack_limit: only finite placeable blocks stack to
+    the standard limit; every other tool is one-per-slot."""
+    if isinstance(tool, PlaceBlock) and not tool.infinite:
+        return STANDARD_STACK_LIMIT
+    return 1
+
+
 @dataclass
 class Stack:
     """inv/inventory.rs Slot::Stack: a tool with a count. Non-infinite
@@ -189,12 +201,26 @@ class Stack:
     count: int = 1
 
 
+def _slot_tool(slot):
+    return slot.tool if isinstance(slot, Stack) else slot
+
+
+def _slot_count(slot):
+    if slot is None:
+        return 0
+    return slot.count if isinstance(slot, Stack) else 1
+
+
 @dataclass
 class Inventory:
-    """inv/inventory.rs:31: slots (Tool or Stack) + selection."""
+    """inv/inventory.rs:31: slots (Tool, Stack, or None=Empty) +
+    selection. `fixed` inventories never grow (the reference's slot
+    arrays are always fixed-size; growable is our convenience mode for
+    the free-editing session)."""
 
     slots: list = field(default_factory=list)
     selected: int = 0
+    fixed: bool = False
 
     def selected_tool(self) -> Optional[Tool]:
         if 0 <= self.selected < len(self.slots):
@@ -214,18 +240,136 @@ class Inventory:
                 if slot.count <= 0:
                     self.slots[self.selected] = None
 
-    def add(self, tool: Tool, count: int = 1):
-        """Add to an existing matching stack or the first free slot
-        (inventory.rs try_add_item stacking)."""
+    def count_of(self, tool: Tool) -> int:
+        """Total count of `tool` across all slots (inventory.rs
+        count_of)."""
+        return sum(
+            _slot_count(s) for s in self.slots if s is not None and _slot_tool(s) == tool
+        )
+
+    def add(self, tool: Tool, count: int = 1) -> bool:
+        """Add with reference stacking rules (inventory.rs unload_to):
+        fill existing matching stacks up to the tool's stack limit, then
+        the first empty slot; growable inventories append. Returns False
+        (nothing placed) when a fixed inventory is full."""
+        limit = stack_limit(tool)
+        remaining = count
         for slot in self.slots:
-            if isinstance(slot, Stack) and slot.tool == tool:
-                slot.count += count
-                return
+            if remaining == 0:
+                return True
+            if isinstance(slot, Stack) and slot.tool == tool and slot.count < limit:
+                moved = min(remaining, limit - slot.count)
+                slot.count += moved
+                remaining -= moved
         for i, slot in enumerate(self.slots):
+            if remaining == 0:
+                return True
             if slot is None:
-                self.slots[i] = Stack(tool, count)
-                return
-        self.slots.append(Stack(tool, count))
+                moved = min(remaining, limit)
+                self.slots[i] = Stack(tool, moved)
+                remaining -= moved
+        if remaining and not self.fixed:
+            while remaining:
+                moved = min(remaining, limit)
+                self.slots.append(Stack(tool, moved))
+                remaining -= moved
+        return remaining == 0
+
+
+class InventoryConflict(Exception):
+    """inventory.rs InventoryMismatch: Full / OutOfBounds /
+    UnexpectedSlot."""
+
+
+@dataclass(frozen=True)
+class InventoryTransaction:
+    """inventory.rs:403 InventoryTransaction: atomic insert + per-slot
+    replace with check-then-commit. `check` builds the whole would-be
+    slot list (the reference's "simplest bulletproof algorithm"),
+    `execute` commits it and returns the changed slot indices
+    (InventoryChange)."""
+
+    insert: tuple = ()
+    replace: tuple = ()  # of (index, old_slot, new_slot)
+
+    @staticmethod
+    def insert_items(items) -> "InventoryTransaction":
+        """insert() constructor: empty items are dropped."""
+        norm = []
+        for it in items:
+            if it is None:
+                continue
+            st = it if isinstance(it, Stack) else Stack(it, 1)
+            if st.count > 0:
+                norm.append(st)
+        return InventoryTransaction(insert=tuple(norm))
+
+    @staticmethod
+    def replace_slot(index: int, old, new) -> "InventoryTransaction":
+        return InventoryTransaction(replace=((index, old, new),))
+
+    def is_empty(self) -> bool:
+        return not self.insert and not self.replace
+
+    def merge(self, other: "InventoryTransaction") -> "InventoryTransaction":
+        """Merge (transaction.rs Merge): replaces of the same slot
+        conflict; inserts concatenate."""
+        mine = {i for i, _, _ in self.replace}
+        for i, _, _ in other.replace:
+            if i in mine:
+                raise InventoryConflict(f"both transactions replace slot {i}")
+        return InventoryTransaction(
+            insert=self.insert + other.insert,
+            replace=self.replace + other.replace,
+        )
+
+    def check(self, inventory: Inventory):
+        """Returns (new_slots, changed_indices) or raises
+        InventoryConflict."""
+        slots = list(inventory.slots)
+        changed = []
+        for index, old, new in self.replace:
+            if not (0 <= index < len(slots)):
+                raise InventoryConflict("out of bounds")
+            if not _slots_equal(slots[index], old):
+                raise InventoryConflict(f"unexpected slot {index}")
+            slots[index] = new
+            changed.append(index)
+        for stack in self.insert:
+            remaining = stack.count
+            limit = stack_limit(stack.tool)
+            for i, slot in enumerate(slots):
+                if remaining == 0:
+                    break
+                if slot is None:
+                    moved = min(remaining, limit)
+                    slots[i] = Stack(stack.tool, moved)
+                    remaining -= moved
+                    changed.append(i)
+                elif (
+                    isinstance(slot, Stack)
+                    and slot.tool == stack.tool
+                    and slot.count < limit
+                ):
+                    moved = min(remaining, limit - slot.count)
+                    slots[i] = Stack(slot.tool, slot.count + moved)
+                    remaining -= moved
+                    changed.append(i)
+            if remaining:
+                raise InventoryConflict("inventory full")
+        return slots, changed
+
+    def execute(self, inventory: Inventory):
+        """check + commit; returns the changed slot indices."""
+        slots, changed = self.check(inventory)
+        inventory.slots[:] = slots
+        return changed
+
+
+def _slots_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    return (_slot_tool(a) == _slot_tool(b)) and (_slot_count(a) == _slot_count(b))
 
 
 def free_editing_inventory() -> Inventory:
