@@ -188,12 +188,15 @@ class InventoryModifier(Modifier):
     """Attach an inventory to a block (block/modifier/mod.rs:106
     Modifier::Inventory). `icons` holds the icon Block of each occupied
     slot (None = empty slot); rendering follows the block's
-    `attributes.inventory` InvInBlock configuration."""
+    `attributes.inventory` InvInBlock configuration. `slots` carries the
+    actual slot contents (inv/inventory.rs slots) so operations like
+    TakeInventory can move them."""
 
     icons: tuple = ()
+    slots: tuple = ()
 
     def __hash__(self):
-        return hash(tuple(id(i) for i in self.icons))
+        return hash((tuple(id(i) for i in self.icons), tuple(id(s) for s in self.slots)))
 
 
 @dataclass(frozen=True)
@@ -270,7 +273,30 @@ class Block:
     def with_modifier(self, m: Modifier) -> "Block":
         return replace(self, modifiers=self.modifiers + (m,))
 
+    def rotationally_symmetric(self) -> bool:
+        """block.rs:403: Atom/Air primitives with only symmetry-
+        preserving modifiers never look different rotated."""
+        prim_ok = isinstance(self.primitive, (Atom, AirPrimitive))
+        mods_ok = all(
+            isinstance(m, (Quote, Tag, InventoryModifier)) for m in self.modifiers
+        )
+        return prim_ok and mods_ok
+
     def rotate(self, rotation: int) -> "Block":
+        """block.rs:449 Block::rotate: identity and symmetric blocks are
+        unchanged; a trailing Rotate modifier is composed rather than
+        chained."""
+        if rotation == 0:
+            return self
+        if self.rotationally_symmetric():
+            return self
+        if self.modifiers and isinstance(self.modifiers[-1], Rotate):
+            from ..math.grid import compose_rotations
+
+            combined = compose_rotations(rotation, self.modifiers[-1].rotation)
+            return replace(
+                self, modifiers=self.modifiers[:-1] + (Rotate(combined),)
+            )
         return self.with_modifier(Rotate(rotation))
 
     def with_attributes(self, **kw) -> "Block":

@@ -337,6 +337,10 @@ def evaluate_light(
     """
     from .dense import evaluate_light_dense  # lazy: dense imports us
 
+    if not state.light_enabled:
+        # LightPhysics::None: no queue, no updates (updater.rs:534).
+        return state, 0
+
     n_dirty = int((state.light_dirty > 0).sum())
     total_updated = 0
     if state.light_enabled and n_dirty > dense_threshold * state.light_dirty.size:

@@ -92,7 +92,48 @@ class GridAab:
         return GridAab.from_lower_upper(lower, upper)
 
     def translate(self, offset) -> "GridAab":
-        return GridAab(tuple(l + int(o) for l, o in zip(self.lower, offset)), self.size)
+        """Translate, clamping to the i32 coordinate range like the
+        reference (grid_aab.rs translate_overflow_* tests): a box pushed
+        partially outside is clipped, fully outside is squashed to zero
+        size at the boundary."""
+        i32_min, i32_max = -(2**31), 2**31 - 1
+        lower, size = [], []
+        for l, s, o in zip(self.lower, self.size, offset):
+            nl = l + int(o)
+            nu = nl + s
+            cl = min(max(nl, i32_min), i32_max)
+            cu = min(max(nu, i32_min), i32_max)
+            lower.append(cl)
+            size.append(max(0, cu - cl) if s > 0 else s)
+        return GridAab(tuple(lower), tuple(size))
+
+    def divide(self, divisor: int) -> "GridAab":
+        """Scale down, rounding outward (grid_aab.rs divide): lower is
+        floor-divided, upper is ceil-divided."""
+        if divisor <= 0:
+            raise ValueError(
+                f"GridAab.divide: divisor must be > 0, not {divisor}"
+            )
+        lower = tuple(l // divisor for l in self.lower)
+        upper = tuple(-((-u) // divisor) for u in self.upper)
+        return GridAab.from_lower_upper(lower, upper)
+
+    def multiply(self, scale: int) -> "GridAab":
+        """Scale up (grid_aab.rs multiply)."""
+        return GridAab(
+            tuple(l * scale for l in self.lower),
+            tuple(s * scale for s in self.size),
+        )
+
+    def transform(self, gid: "Gridgid") -> "GridAab":
+        """Apply a rigid transform (grid_aab.rs transform): the rotated
+        corner pair is re-sorted into lower/upper."""
+        m = gid.matrix()
+        a = m @ np.asarray(self.lower, np.int64) + gid.translation
+        b = m @ np.asarray(self.upper, np.int64) + gid.translation
+        return GridAab.from_lower_upper(
+            np.minimum(a, b).tolist(), np.maximum(a, b).tolist()
+        )
 
     def expand(self, by: int) -> "GridAab":
         return GridAab.from_lower_upper(

@@ -93,6 +93,16 @@ class Camera:
     def near_plane_distance(self) -> float:
         return 1.0 / 32.0  # camera.rs:199: half a voxel at resolution 16
 
+    def set_measured_exposure(self, e: float):
+        """camera.rs set_measured_exposure: only effective under
+        automatic exposure with lighting enabled (camera/tests.rs
+        exposure_automatic_active /
+        exposure_automatic_disabled_when_lighting_is_disabled)."""
+        from .options import LIGHT_NONE
+
+        if self.options.exposure_auto and self.options.lighting_display != LIGHT_NONE:
+            self.exposure = float(e)
+
     def _compute(self):
         """camera.rs:384 compute_matrices."""
         fov_cot = 1.0 / np.tan(np.radians(self.options.fov_y) / 2.0)
@@ -120,8 +130,9 @@ class Camera:
         return near, far - near
 
     def _unproject(self, ndc3):
-        h = self.inverse_projection_view @ np.append(ndc3, 1.0)
-        return h[:3] / h[3]
+        with np.errstate(invalid="ignore"):
+            h = self.inverse_projection_view @ np.append(ndc3, 1.0)
+            return h[:3] / h[3]
 
     def pixel_rays(self, supersample: bool = False):
         """Device arrays of per-pixel rays: (origins, directions) f32[H,W,3].

@@ -569,6 +569,9 @@ def trace_rays(
     fog_on = options.fog != "none"
     fog_blend = jnp.float32(options.fog_blend())
     lighting = options.lighting_display
+    if not state.light_enabled:
+        # LightPhysics::None → unit illumination (updater.rs:580 get()).
+        lighting = LIGHT_NONE
     transparency = options.transparency
 
     zero3i = jnp.zeros((n_rays, 3), jnp.int32)

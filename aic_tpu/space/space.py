@@ -259,26 +259,63 @@ class Space:
     # -- fast initial lighting ------------------------------------------------
 
     def fast_evaluate_light(self):
-        """Seed light by column sky visibility (updater.rs:631
-        `fast_evaluate_light`): cubes with unobstructed sky above get the
-        +Y sky face value; opaque cubes get OPAQUE; all else black-dirty.
+        """Seed light per the reference's exact per-cube rules
+        (updater.rs:531 `fast_evaluate_light`):
+
+        - opaque cube → OPAQUE;
+        - cube or any of its 6 neighbors visible-or-animated → a guess
+          needing a real update: sky's +Y face if the column above is
+          clear, else UNINITIALIZED_AND_BLACK;
+        - otherwise → NO_RAYS (does not interact with rays at all).
+
+        With light physics disabled this is a no-op (LightPhysics::None).
         """
         from ..math.faces import PY
 
+        if not self.physics.light_enabled:
+            self.light[...] = 0
+            self.light_dirty[...] = 0
+            return
+
         opaque_all = np.array([ev.opaque.all() for ev in self._evaluated], bool)
-        has_surface = np.array([ev.visible for ev in self._evaluated], bool)
+        vis = np.array(
+            [ev.visible_or_animated() for ev in self._evaluated], bool
+        )
         grid_opaque = opaque_all[self.contents]
-        # Cumulative "any opaque above" along +Y (axis 1, increasing index up).
+        grid_vis = vis[self.contents]
+        # Cube-or-neighbor visibility (6-connected dilation; OOB = not
+        # visible, like the reference's AIR-evaluated outside lookups).
+        near_vis = grid_vis.copy()
+        for axis in range(3):
+            shp = [slice(None)] * 3
+            shn = [slice(None)] * 3
+            shp[axis] = slice(1, None)
+            shn[axis] = slice(None, -1)
+            near_vis[tuple(shp)] |= grid_vis[tuple(shn)]
+            near_vis[tuple(shn)] |= grid_vis[tuple(shp)]
+        # "covered": any opaque cube strictly above in the column.
         above = np.zeros_like(grid_opaque)
-        above[:, :-1, :] = np.cumsum(grid_opaque[:, ::-1, :], axis=1)[:, ::-1, :][:, 1:, :] > 0
+        above[:, :-1, :] = (
+            np.cumsum(grid_opaque[:, ::-1, :], axis=1)[:, ::-1, :][:, 1:, :] > 0
+        )
         sky_py = self.physics.sky.block_sky_faces()[PY]
-        texel = np.zeros(4, np.uint8)
-        texel[:3] = lightpack.np_encode_scalar(sky_py)
-        texel[3] = lightpack.STATUS_VISIBLE
-        self.light[...] = 0
-        self.light[~grid_opaque & ~above] = texel
-        self.light[grid_opaque] = np.array([0, 0, 0, lightpack.STATUS_OPAQUE], np.uint8)
-        self.light_dirty[...] = 255
+        sky_texel = np.zeros(4, np.uint8)
+        sky_texel[:3] = lightpack.np_encode_scalar(sky_py)
+        sky_texel[3] = lightpack.STATUS_VISIBLE
+        self.light[...] = np.array(
+            [0, 0, 0, lightpack.STATUS_NO_RAYS], np.uint8
+        )
+        guess = ~grid_opaque & near_vis
+        self.light[guess & ~above] = sky_texel
+        self.light[guess & above] = np.array(
+            [0, 0, 0, lightpack.STATUS_UNINITIALIZED], np.uint8
+        )
+        self.light[grid_opaque] = np.array(
+            [0, 0, 0, lightpack.STATUS_OPAQUE], np.uint8
+        )
+        # Only the guessed cubes need real updates (Priority::ESTIMATED).
+        self.light_dirty[...] = 0
+        self.light_dirty[guess] = 255
 
     # -- device snapshot -------------------------------------------------------
 

@@ -1,6 +1,17 @@
 """Layer 1e: Universe container, transactions, operations, behaviors, step loop."""
 
-from .op import Alt, Become, DestroyTo, MoveInwards, Neighbors, Operation, OperationFailed
+from .op import (
+    AddModifiers,
+    Alt,
+    Become,
+    DestroyTo,
+    MoveInwards,
+    Neighbors,
+    Operation,
+    OperationFailed,
+    StartMove,
+    TakeInventory,
+)
 from .transaction import (
     CubeEdit,
     PreconditionFailed,
@@ -28,7 +39,8 @@ from .cursor import (
 from .universe import Behavior, Character, Clock, Tick, Universe, UniverseStepInfo
 
 __all__ = [
-    "Alt", "Become", "DestroyTo", "MoveInwards", "Neighbors", "Operation",
+    "AddModifiers", "Alt", "Become", "DestroyTo", "MoveInwards",
+    "Neighbors", "Operation", "StartMove", "TakeInventory",
     "OperationFailed", "CubeEdit", "PreconditionFailed", "SpaceTransaction",
     "TransactionConflict", "UniverseTransaction", "Behavior", "Character",
     "Clock", "Tick", "Universe", "UniverseStepInfo",

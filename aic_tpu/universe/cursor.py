@@ -423,6 +423,15 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
     from .transaction import Fluff
 
     universe.fluff_buffer.extend(txn.fluff)
+    # TakeInventory-style operations deposit slots into the actor
+    # (op.rs's InventoryTransaction leg).
+    for slot in getattr(txn, "inventory_insert", ()):
+        if slot is None:
+            continue
+        if isinstance(slot, Stack):
+            inv.add(slot.tool, slot.count)
+        else:
+            inv.add(slot)
     if isinstance(tool, PlaceBlock):
         universe.fluff_buffer.append(Fluff("Place", cursor.preceding_cube))
         if not tool.infinite:

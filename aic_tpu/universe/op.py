@@ -46,7 +46,9 @@ class DestroyTo(Operation):
     block: object = AIR
 
     def apply(self, space, cube):
-        return SpaceTransaction.set_cube(cube, new=self.block)
+        # Destruction is non-conserved (op.rs destroy_to_txn): two
+        # destroys of one cube may merge.
+        return SpaceTransaction.set_cube(cube, new=self.block, conserved=False)
 
 
 @dataclass(frozen=True)
@@ -78,6 +80,102 @@ class Neighbors(Operation):
             if not space.bounds.contains_cube(target):
                 raise OperationFailed(f"neighbor {target} out of bounds")
             txn = txn.merge(op.apply(space, target))
+        return txn
+
+
+@dataclass(frozen=True)
+class StartMove(Operation):
+    """op.rs:97/:251 Operation::StartMove: begin a Move animation. The
+    targeted cube's block gains the Move modifier; the adjacent air cube
+    it moves into gains the complement (move.rs:58 into_paired), so the
+    two halves animate as one block crossing the boundary."""
+
+    move: object  # block.Move modifier
+
+    def apply(self, space, cube):
+        from ..block import Move
+        from ..math import faces
+
+        n = faces.FACE_NORMALS[self.move.face]
+        adjacent = tuple(int(c + d) for c, d in zip(cube, n))
+        if not space.bounds.contains_cube(adjacent):
+            raise OperationFailed("move destination out of bounds")
+        if space.block_at(adjacent) != AIR:
+            raise OperationFailed("move destination occupied")
+        target_block = space.block_at(cube)
+        complement = Move(
+            face=int(faces.OPPOSITE[self.move.face]),
+            distance=256 - self.move.distance,
+            velocity=-self.move.velocity,
+        )
+        out = SpaceTransaction.set_cube(
+            cube, old=target_block, new=target_block.with_modifier(self.move)
+        )
+        return out.merge(
+            SpaceTransaction.set_cube(
+                adjacent, old=AIR, new=target_block.with_modifier(complement)
+            )
+        )
+
+
+@dataclass(frozen=True)
+class AddModifiers(Operation):
+    """op.rs Operation::AddModifiers: append modifiers to the targeted
+    block. Rotate uses Block.rotate (so rotationally symmetric blocks —
+    e.g. AIR — are left untouched and the transaction is empty)."""
+
+    modifiers: tuple
+
+    def apply(self, space, cube):
+        from ..block import Rotate
+
+        current = space.block_at(cube)
+        new = current
+        for m in self.modifiers:
+            if isinstance(m, Rotate):
+                new = new.rotate(m.rotation)
+            else:
+                new = new.with_modifier(m)
+        if new == current:
+            return SpaceTransaction()
+        return SpaceTransaction.set_cube(cube, old=current, new=new)
+
+
+@dataclass(frozen=True)
+class TakeInventory(Operation):
+    """op.rs Operation::TakeInventory: move the targeted block's attached
+    inventory (InventoryModifier slots) into the actor's inventory via
+    the transaction's `inventory_insert` channel. With `destroy_if_empty`
+    the emptied block becomes AIR; otherwise it keeps an empty
+    inventory modifier."""
+
+    destroy_if_empty: bool = True
+
+    def apply(self, space, cube):
+        from ..block import InventoryModifier
+        from dataclasses import replace as dc_replace
+
+        current = space.block_at(cube)
+        inv_mods = [
+            (i, m)
+            for i, m in enumerate(current.modifiers)
+            if isinstance(m, InventoryModifier)
+        ]
+        if not inv_mods:
+            raise OperationFailed("block has no inventory")
+        idx, mod = inv_mods[0]
+        slots = [s for s in mod.slots if s is not None]
+        if not slots:
+            raise OperationFailed("block inventory is empty")
+        if self.destroy_if_empty:
+            new = AIR
+        else:
+            emptied = InventoryModifier(icons=(), slots=(None,) * len(mod.slots))
+            mods = list(current.modifiers)
+            mods[idx] = emptied
+            new = dc_replace(current, modifiers=tuple(mods))
+        txn = SpaceTransaction.set_cube(cube, old=current, new=new)
+        txn.inventory_insert.extend(slots)
         return txn
 
 

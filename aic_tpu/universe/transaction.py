@@ -58,6 +58,9 @@ class SpaceTransaction:
 
     cubes: dict = field(default_factory=dict)  # (x,y,z) -> CubeEdit
     fluff: list = field(default_factory=list)  # [Fluff]
+    #: Slots to insert into the acting character's inventory on commit
+    #: (op.rs TakeInventory's InventoryTransaction leg).
+    inventory_insert: list = field(default_factory=list)
 
     @staticmethod
     def set_cube(cube, old=None, new=None, conserved=True) -> "SpaceTransaction":
@@ -87,7 +90,11 @@ class SpaceTransaction:
         preconditions differ, or when both write `new` unless both writes
         are non-conserved and equal (the conserved rule protects block
         conservation: two moves into one cube must not collapse into one)."""
-        out = SpaceTransaction(cubes=dict(self.cubes), fluff=self.fluff + other.fluff)
+        out = SpaceTransaction(
+            cubes=dict(self.cubes),
+            fluff=self.fluff + other.fluff,
+            inventory_insert=self.inventory_insert + other.inventory_insert,
+        )
         for cube, edit in other.cubes.items():
             if cube in out.cubes:
                 mine = out.cubes[cube]

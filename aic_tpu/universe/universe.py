@@ -128,11 +128,123 @@ class Universe:
 
     # -- membership (universe.rs:419 insert) --------------------------------
 
-    def insert_space(self, name: str, space: Space) -> str:
+    def _member_dicts(self):
+        return (self.spaces, self.block_defs, self.sounds, self.tags, self.characters)
+
+    def member_names(self) -> set:
+        out = set()
+        for d in self._member_dicts():
+            out.update(d.keys())
+        return out
+
+    def _check_insert_name(self, name: str):
+        """Names are universe-global across member types
+        (universe/tests.rs insert_duplicate_name_*), and the anonymous
+        format is reserved (insert_anonym_prohibited_direct)."""
+        if name in self.member_names():
+            raise ValueError(f"member {name!r} already exists")
+        if name.startswith("[anonymous"):
+            raise ValueError("anonymous names may only come from insert_anonymous")
+
+    def insert_space(self, name: str, space: Space, _anonymous: bool = False) -> str:
+        if not _anonymous:
+            self._check_insert_name(name)
         self.spaces[name] = space
         self.states[name] = space.snapshot()
         self._reindex_tick_actions(name)
         return name
+
+    def insert_block_def(self, name: str, block_def) -> str:
+        self._check_insert_name(name)
+        self.block_defs[name] = block_def
+        return name
+
+    def insert_anonymous(self, member) -> str:
+        """universe.rs insert_anonymous: a distinct reserved name; such
+        members are garbage-collected when unreferenced and cannot be
+        deleted by name."""
+        n = getattr(self, "_anonym_counter", 0)
+        self._anonym_counter = n + 1
+        name = f"[anonymous #{n}]"
+        if isinstance(member, Space):
+            self.insert_space(name, member, _anonymous=True)
+        else:
+            self.block_defs[name] = member
+        return name
+
+    @staticmethod
+    def is_anonymous(name: str) -> bool:
+        return name.startswith("[anonymous")
+
+    def delete(self, name: str) -> None:
+        """UniverseTransaction::delete semantics (universe/tests.rs
+        delete_*): deleting twice fails; anonymous members are strictly
+        garbage-collected and cannot be deleted."""
+        if self.is_anonymous(name):
+            raise ValueError(f"anonymous member {name!r} cannot be deleted")
+        for d in self._member_dicts():
+            if name in d:
+                del d[name]
+                self.states.pop(name, None)
+                self._tick_action_index.pop(name, None)
+                return
+        raise KeyError(f"no member {name!r}")
+
+    def gc(self) -> int:
+        """universe/gc.rs:55: delete anonymous members unreachable from
+        named (root) members. References are object identity: Indirect
+        primitives → BlockDefs, Character.space_name → Spaces. Returns
+        the number of members collected."""
+        from ..block.model import Indirect
+
+        def blockdefs_of(block) -> list:
+            out = []
+            stack = [block]
+            while stack:
+                b = stack.pop()
+                if isinstance(b.primitive, Indirect):
+                    out.append(b.primitive.block_def)
+                    stack.append(b.primitive.block_def.block)
+                for m in b.modifiers:
+                    src = getattr(m, "source", None)
+                    if src is not None:
+                        stack.append(src)
+            return out
+
+        live_defs = set()
+        live_spaces = set()
+        for name, sp in self.spaces.items():
+            if not self.is_anonymous(name):
+                live_spaces.add(name)
+        for ch in self.characters.values():
+            live_spaces.add(ch.space_name)
+        live_spaces.update(host for host, _, _ in self.behaviors)
+        for name in live_spaces:
+            sp = self.spaces.get(name)
+            if sp is None:
+                continue
+            for blk in sp.palette:
+                live_defs.update(id(bd) for bd in blockdefs_of(blk))
+        for name, bd in self.block_defs.items():
+            if not self.is_anonymous(name):
+                live_defs.add(id(bd))
+                live_defs.update(id(x) for x in blockdefs_of(bd.block))
+        collected = 0
+        for name in [
+            n
+            for n, bd in self.block_defs.items()
+            if self.is_anonymous(n) and id(bd) not in live_defs
+        ]:
+            del self.block_defs[name]
+            collected += 1
+        for name in [
+            n for n in self.spaces if self.is_anonymous(n) and n not in live_spaces
+        ]:
+            del self.spaces[name]
+            self.states.pop(name, None)
+            self._tick_action_index.pop(name, None)
+            collected += 1
+        return collected
 
     def insert_character(self, name: str, space_name: str, position) -> Character:
         import jax
@@ -181,6 +293,11 @@ class Universe:
         if paused:
             return info
         prof = self.profiler
+
+        # Implicit GC of unreferenced anonymous members each step
+        # (universe/tests.rs gc_implicit; gc.rs:55).
+        if any(self.is_anonymous(n) for n in self.member_names()):
+            self.gc()
 
         # Synchronize: palette re-evaluation for changed BlockDefs
         # (space/step.rs:76). BlockDef.touch() bumps epoch; spaces
@@ -307,17 +424,3 @@ class Universe:
 
     # -- garbage collection (universe/gc.rs:55) -----------------------------
 
-    def gc(self) -> int:
-        """Remove anonymous members no longer referenced. Anonymous spaces
-        (names starting with "_anon") are collected when no character lives
-        in them and no behavior is attached to them."""
-        live = {ch.space_name for ch in self.characters.values()}
-        live |= {host for host, _, _ in self.behaviors}
-        dead = [
-            n for n in self.spaces if n.startswith("_anon") and n not in live
-        ]
-        for n in dead:
-            del self.spaces[n]
-            self.states.pop(n, None)
-            self._tick_action_index.pop(n, None)
-        return len(dead)

@@ -51,12 +51,12 @@ class TestGc:
     def test_gc_collects_unreferenced_anon_spaces(self):
         u = Universe()
         u.insert_space("world", Space(GridAab.cube(4)))
-        u.insert_space("_anon_1", Space(GridAab.cube(4)))
-        u.insert_space("_anon_2", Space(GridAab.cube(4)))
-        u.insert_character("p", "_anon_2", (2, 2, 2))  # pins _anon_2
+        a1 = u.insert_anonymous(Space(GridAab.cube(4)))
+        a2 = u.insert_anonymous(Space(GridAab.cube(4)))
+        u.insert_character("p", a2, (2, 2, 2))  # pins a2
         removed = u.gc()
         assert removed == 1
-        assert "_anon_1" not in u.spaces and "_anon_2" in u.spaces
+        assert a1 not in u.spaces and a2 in u.spaces
         assert "world" in u.spaces
 
 

@@ -12,6 +12,7 @@ from aic_tpu.block import (
     InvInBlock,
     InventoryModifier,
     Recur,
+    Rotate,
     Tag,
 )
 from aic_tpu.io.import_ref import load_alliscubesjson, save_alliscubesjson
@@ -53,7 +54,10 @@ def _universe():
     )
     sp.set(
         (2, 0, 0),
-        block.from_color((0.5, 0.5, 0.5, 1.0)).rotate(rotation_from_name("RXZy"))
+        # Attach Rotate directly: Block.rotate() is a no-op on symmetric
+        # atoms (block.rs:456), and here we are testing serialization.
+        block.from_color((0.5, 0.5, 0.5, 1.0))
+        .with_modifier(Rotate(rotation_from_name("RXZy")))
         .with_modifier(Tag("marker")),
     )
     sp.set(
