@@ -530,13 +530,22 @@ def _composite_over(src: Evoxels, dst: Evoxels) -> Evoxels:
 
 
 def _zoom(v: Evoxels, m: model.Zoom) -> Evoxels:
-    """Magnify a 1/scale sub-cube to fill the block (zoom.rs)."""
+    """Magnify a 1/scale sub-cube to fill the block (zoom.rs).
+
+    The result keeps the divided resolution (zoom.rs tests: an R16
+    block zoomed ×2 evaluates at R8), so zoomed multiblock tiles don't
+    inflate the voxel tables. Zooming below R1 (e.g. an atom) returns
+    the input unchanged — every sub-cube of a uniform block is itself.
+    """
     r = v.resolution
     sub = r // m.scale
+    if sub == 0:
+        return v
     ox, oy, oz = (o * sub for o in m.offset)
     crop = lambda a: a[ox : ox + sub, oy : oy + sub, oz : oz + sub]
-    cropped = Evoxels(sub, crop(v.color), crop(v.emission), crop(v.selectable), crop(v.collision))
-    return _upsample(cropped, r)
+    return Evoxels(
+        sub, crop(v.color), crop(v.emission), crop(v.selectable), crop(v.collision)
+    )
 
 
 def _move(v: Evoxels, m: model.Move) -> Evoxels:

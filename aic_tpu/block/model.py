@@ -223,10 +223,19 @@ class Composite(Modifier):
 
 @dataclass(frozen=True)
 class Zoom(Modifier):
-    """Magnify 1/scale portion of the block (block/modifier/zoom.rs)."""
+    """Magnify 1/scale portion of the block (block/modifier/zoom.rs).
+    `offset` selects the sub-cube: each component in [0, scale)
+    (zoom.rs construction_out_of_range_* tests)."""
 
     scale: int
     offset: tuple[int, int, int]
+
+    def __post_init__(self):
+        for o in self.offset:
+            if not 0 <= o < self.scale:
+                raise ValueError(
+                    f"Zoom offset {tuple(self.offset)} out of bounds for {self.scale}"
+                )
 
 
 @dataclass(frozen=True)

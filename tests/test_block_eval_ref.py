@@ -303,3 +303,48 @@ class TestMoveEval:
             )
         )
         assert not e.visible
+
+
+class TestZoomEval:
+    """zoom.rs tests: offset validation and sub-cube extraction at the
+    divided resolution."""
+
+    def test_construction_out_of_range_high(self):
+        from aic_tpu.block import Zoom
+
+        with pytest.raises(ValueError):
+            Zoom(scale=2, offset=(2, 1, 1))
+
+    def test_construction_out_of_range_low(self):
+        from aic_tpu.block import Zoom
+
+        with pytest.raises(ValueError):
+            Zoom(scale=2, offset=(-1, 1, 1))
+
+    def test_evaluation_extracts_offset_region(self):
+        """zoom.rs:evaluation — zooming an R4 gradient block by 2 yields
+        R2 voxels equal to the corresponding source region."""
+        from aic_tpu.block import Zoom
+
+        r = 4
+        blk = voxels_fn(
+            r,
+            lambda p: block.from_color((p[0] / 8, p[1] / 8, p[2] / 8, 1.0)),
+        )
+        base = evaluate(blk)
+        for ox in range(2):
+            zoomed = evaluate(blk.with_modifier(Zoom(scale=2, offset=(ox, 0, 0))))
+            assert zoomed.resolution == 2
+            np.testing.assert_allclose(
+                zoomed.voxels.color,
+                np.asarray(base.voxels.color)[2 * ox : 2 * ox + 2, 0:2, 0:2],
+                atol=1e-7,
+            )
+
+    def test_zoom_of_atom_is_atom(self):
+        from aic_tpu.block import Zoom
+
+        blk = block.from_color((0.3, 0.6, 0.9, 1.0))
+        e = evaluate(blk.with_modifier(Zoom(scale=2, offset=(1, 1, 0))))
+        assert e.resolution == 1
+        np.testing.assert_allclose(e.color, (0.3, 0.6, 0.9, 1.0), atol=1e-7)
