@@ -130,7 +130,14 @@ class SpaceTransaction:
         protocol: check → CommitCheck → commit)."""
         for cube, edit in self.cubes.items():
             if not space.bounds.contains_cube(cube):
-                raise PreconditionFailed(f"cube {cube} outside bounds")
+                # space_txn.rs:801-838: an out-of-bounds *conserved* set
+                # or any out-of-bounds compare fails; a non-conserved
+                # write out of bounds is allowed and silently skipped.
+                if edit.old is not None:
+                    raise PreconditionFailed(f"cube {cube} outside bounds")
+                if edit.new is not None and edit.conserved:
+                    raise PreconditionFailed(f"cube {cube} outside bounds")
+                continue
             if edit.old is not None and space.block_at(cube) != edit.old:
                 raise PreconditionFailed(f"cube {cube} changed")
 
@@ -151,6 +158,8 @@ class SpaceTransaction:
         for cube, edit in self.cubes.items():
             if edit.new is None:
                 continue
+            if not space.bounds.contains_cube(cube):
+                continue  # allowed only for non-conserved writes (check)
             idx = space.ensure_block(edit.new)
             rel = space._rel(cube)
             space.contents[rel] = idx
