@@ -258,9 +258,11 @@ def _evaluate_impl(block: Block, budget: _Budget, depth: int) -> EvaluatedBlock:
     attributes = block.attributes
     voxels = _evaluate_primitive(block.primitive, budget, depth)
 
-    for modifier in block.modifiers:
+    for index, modifier in enumerate(block.modifiers):
         budget.spend_components()
-        attributes, voxels = _apply_modifier(modifier, attributes, voxels, budget, depth)
+        attributes, voxels = _apply_modifier(
+            modifier, attributes, voxels, budget, depth, block=block, index=index
+        )
 
     return compute_derived(attributes, voxels)
 
@@ -342,7 +344,15 @@ def _evaluate_text(primitive: model.TextPrimitive, budget: _Budget) -> Evoxels:
     return out
 
 
-def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, depth: int):
+def _apply_modifier(
+    modifier,
+    attributes,
+    voxels: Evoxels,
+    budget: _Budget,
+    depth: int,
+    block: Optional[Block] = None,
+    index: int = 0,
+):
     if isinstance(modifier, model.Rotate):
         rot = ROTATION_MATRICES[modifier.rotation]
         return attributes, Evoxels(
@@ -356,9 +366,14 @@ def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, dept
         src_ev = _evaluate_impl(modifier.source, budget, depth + 1)
         dst = voxels
         src = src_ev.voxels
+        src_att, dst_att = src_ev.attributes, attributes
         if modifier.reverse:
             src, dst = dst, src
-        return attributes, _composite(src, dst, modifier.operator)
+            src_att, dst_att = dst_att, src_att
+        out_att = _compose_attributes(
+            src_att, dst_att, modifier, block, index
+        )
+        return out_att, _composite(src, dst, modifier.operator)
     if isinstance(modifier, model.Quote):
         return (
             model.BlockAttributes(
@@ -386,6 +401,75 @@ def _apply_modifier(modifier, attributes, voxels: Evoxels, budget: _Budget, dept
             modifier, attributes, voxels, budget, depth
         )
     raise TypeError(f"unknown modifier {modifier!r}")
+
+
+def _compose_attributes(src_att, dst_att, modifier, block, index):
+    """composite.rs:259-310 attribute composition: destination's name
+    wins when both are named; selectable/animated are ORed; tick and
+    activation actions blend when they are Become operations (each
+    half's Become target is re-composed with the other half)."""
+    unnamed = model.DEFAULT_ATTRIBUTES.display_name
+    name = (
+        src_att.display_name
+        if dst_att.display_name == unnamed
+        else dst_att.display_name
+    )
+
+    def blend_ops(src_op, dst_op):
+        # CompositeOperator::blend_operations (composite.rs:638): only
+        # Become operations compose; others pass through singly.
+        from ..universe.op import Become
+
+        if modifier.reverse:
+            src_op, dst_op = dst_op, src_op
+        src_b = src_op.block if isinstance(src_op, Become) else None
+        dst_b = dst_op.block if isinstance(dst_op, Become) else None
+        if src_b is None and dst_b is None:
+            # Become is the only composable operation; anything else is
+            # dropped here exactly like the reference (composite.rs:655).
+            return None
+        if dst_b is not None:
+            new_block = dst_b
+        elif block is not None:
+            new_block = Block(block.primitive, block.attributes, block.modifiers[:index])
+        else:
+            return None
+        source = src_b if src_b is not None else modifier.source
+        return Become(
+            new_block.with_modifier(
+                model.Composite(
+                    source=source,
+                    operator=modifier.operator,
+                    reverse=modifier.reverse,
+                )
+            )
+        )
+
+    tick = None
+    tick_period = dst_att.tick_period
+    if src_att.tick_action is not None or dst_att.tick_action is not None:
+        tick = blend_ops(src_att.tick_action, dst_att.tick_action)
+        tick_period = (
+            src_att.tick_period
+            if src_att.tick_action is not None
+            else dst_att.tick_period
+        )
+    activation = None
+    if src_att.activation_action is not None or dst_att.activation_action is not None:
+        activation = blend_ops(src_att.activation_action, dst_att.activation_action)
+
+    return model.BlockAttributes(
+        display_name=name,
+        selectable=src_att.selectable or dst_att.selectable,
+        tick_action=tick,
+        tick_period=tick_period,
+        activation_action=activation,
+        animated=src_att.animated or dst_att.animated,
+        rotation_rule=dst_att.rotation_rule,
+        tags=dst_att.tags + src_att.tags,
+        inventory=dst_att.inventory or src_att.inventory,
+        ambient_sound=dst_att.ambient_sound,
+    )
 
 
 def _render_inventory(

@@ -339,7 +339,7 @@ class BlockDef:
 AIR = Block(AirPrimitive(), BlockAttributes(display_name="<air>", selectable=False))
 
 
-def from_color(color, display_name="block", emission=(0.0, 0.0, 0.0), **attr_kw) -> Block:
+def from_color(color, display_name=DEFAULT_ATTRIBUTES.display_name, emission=(0.0, 0.0, 0.0), **attr_kw) -> Block:
     """Convenience: solid-color atom block (block/builder.rs path)."""
     color = tuple(float(c) for c in color)
     if len(color) == 3:

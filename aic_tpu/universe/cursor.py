@@ -76,10 +76,13 @@ class Activate(Tool):
     """Tool::Activate: run the block's activation_action."""
 
     def use(self, universe, space_name, cursor):
-        action = cursor.block.attributes.activation_action
+        # Evaluated attributes, not raw: modifiers (Composite) compose
+        # activation actions during evaluation (composite.rs:303).
+        space = universe.spaces[space_name]
+        action = space.evaluated_block_at(cursor.cube).attributes.activation_action
         if action is None:
             raise OperationFailed("block has no activation action")
-        return action.apply(universe.spaces[space_name], cursor.cube)
+        return action.apply(space, cursor.cube)
 
 
 @dataclass(frozen=True)

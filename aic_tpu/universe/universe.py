@@ -277,11 +277,15 @@ class Universe:
         self._reindex_tick_actions(name)
 
     def _reindex_tick_actions(self, name: str):
+        """Index tick actions from EVALUATED attributes (space/step.rs
+        reads EvaluatedBlock attributes — modifiers like Composite
+        compose actions during evaluation, composite.rs:285)."""
         sp = self.spaces[name]
         acts = []
-        for i, blk in enumerate(sp.palette):
-            if blk.attributes.tick_action is not None:
-                acts.append((i, blk.attributes.tick_action, blk.attributes.tick_period))
+        for i in range(sp.palette_len()):
+            att = sp.evaluated(i).attributes
+            if att.tick_action is not None:
+                acts.append((i, att.tick_action, att.tick_period))
         self._tick_action_index[name] = acts
 
     # -- stepping (universe.rs:314) ------------------------------------------

@@ -348,3 +348,152 @@ class TestZoomEval:
         e = evaluate(blk.with_modifier(Zoom(scale=2, offset=(1, 1, 0))))
         assert e.resolution == 1
         np.testing.assert_allclose(e.color, (0.3, 0.6, 0.9, 1.0), atol=1e-7)
+
+
+class TestCompositeAtop(TestCompositeBlend):
+    """composite.rs:1082-1148 Atop blend tables."""
+
+    def test_atop_color(self):
+        opaque1 = ((1, 0, 0, 1.0), (0, 0, 0))
+        opaque2 = ((0, 1, 0, 1.0), (0, 0, 0))
+        half_red = ((1, 0, 0, 0.5), (0, 0, 0))
+        clear = ((0, 0, 0, 0.0), (0, 0, 0))
+        cases = [
+            (opaque1, opaque2, (1, 0, 0, 1)),
+            (half_red, opaque2, (0.5, 0.5, 0, 1)),
+            (opaque1, clear, (0, 0, 0, 0)),
+            (clear, opaque2, (0, 1, 0, 1)),
+            (clear, clear, (0, 0, 0, 0)),
+        ]
+        for src, dst, want in cases:
+            rgba, _, _ = self._blend("atop", src, dst)
+            np.testing.assert_allclose(
+                rgba, want, atol=1e-6, err_msg=f"{src} atop {dst}"
+            )
+
+    def test_atop_emission(self):
+        red_1 = self._emit((1, 0, 0), 1.0)
+        green_1 = self._emit((0, 1, 0), 1.0)
+        green_0 = self._emit((0, 1, 0), 0.0)
+        green_05 = self._emit((0, 1, 0), 0.5)
+        none_1 = self._emit((0, 0, 0), 1.0)
+        none_0 = self._emit((0, 0, 0), 0.0)
+        cases = [
+            (red_1, none_1, (1, 0, 0)),
+            (red_1, red_1, (1, 0, 0)),
+            (red_1, green_1, (1, 0, 0)),
+            (red_1, none_0, (0, 0, 0)),
+            (none_1, red_1, (0, 0, 0)),
+            (none_0, red_1, (1, 0, 0)),
+            (none_1, none_1, (0, 0, 0)),
+            (none_0, none_1, (0, 0, 0)),
+            (red_1, green_05, (0.5, 0, 0)),
+            (green_05, red_1, (0.5, 0.5, 0)),
+            (green_05, green_05, (0, 0.5, 0)),
+            (green_05, none_0, (0, 0, 0)),
+            (green_0, none_1, (0, 0, 0)),
+            (green_0, none_0, (0, 0, 0)),
+            (none_1, green_0, (0, 0, 0)),
+            (green_0, green_0, (0, 0, 0)),
+        ]
+        for src, dst, want in cases:
+            _, em, _ = self._blend("atop", src, dst)
+            np.testing.assert_allclose(
+                em, want, atol=1e-6, err_msg=f"{src} atop {dst}"
+            )
+
+    def test_atop_collision(self):
+        from aic_tpu.block import COLLISION_HARD, COLLISION_NONE
+        from aic_tpu.block.eval import Evoxels, _composite
+
+        H, N = COLLISION_HARD, COLLISION_NONE
+        w = (1, 1, 1, 1.0)
+
+        def coll(s, d):
+            sv = Evoxels.uniform(w, resolution=1)
+            sv.collision[:] = s
+            dv = Evoxels.uniform(w, resolution=1)
+            dv.collision[:] = d
+            return int(_composite(sv, dv, "atop").collision[0, 0, 0])
+
+        # atop takes the destination's collision (composite.rs:1138).
+        assert coll(H, H) == H
+        assert coll(N, N) == N
+        assert coll(H, N) == N
+        assert coll(N, H) == H
+
+
+class TestCompositeAttributes:
+    """composite.rs:1151-1268 attribute composition."""
+
+    def _compose(self, src, dst, reverse=False):
+        from aic_tpu.block import Composite
+
+        return evaluate(dst.with_modifier(Composite(source=src, operator="over", reverse=reverse)))
+
+    def test_display_name(self):
+        """composite.rs:1151 — destination name wins when both named;
+        a reversed composition makes the source play destination."""
+        no_name = block.from_color((1, 1, 1, 1))
+        n1 = block.from_color((1, 1, 1, 1), "has_name_1")
+        n2 = block.from_color((1, 1, 1, 1), "has_name_2")
+        assert self._compose(n1, no_name).attributes.display_name == "has_name_1"
+        assert self._compose(no_name, n1).attributes.display_name == "has_name_1"
+        assert self._compose(n1, n2).attributes.display_name == "has_name_2"
+        assert (
+            self._compose(n1, n2, reverse=True).attributes.display_name
+            == "has_name_1"
+        )
+
+    def test_selectable_if_either_is_selectable(self):
+        """composite.rs:1197."""
+        sel = block.from_color((1, 1, 1, 1))
+        unsel = block.from_color((1, 1, 1, 1)).with_attributes(selectable=False)
+        assert self._compose(sel, unsel).attributes.selectable
+        assert self._compose(unsel, sel).attributes.selectable
+        assert not self._compose(unsel, unsel).attributes.selectable
+
+    def test_activation_action_is_composed(self):
+        """composite.rs:1216 — two Become actions compose into Become of
+        the composite of their targets."""
+        from aic_tpu.block import Composite
+        from aic_tpu.universe import Become
+
+        r1 = block.from_color((1, 0, 0, 1), "r1")
+        r2 = block.from_color((0, 1, 0, 1), "r2")
+        b1 = block.from_color((1, 1, 1, 1)).with_attributes(
+            activation_action=Become(r1)
+        )
+        b2 = block.from_color((1, 1, 1, 1)).with_attributes(
+            activation_action=Become(r2)
+        )
+        got = self._compose(b1, b2).attributes.activation_action
+        want = Become(r2.with_modifier(Composite(source=r1, operator="over")))
+        assert isinstance(got, Become)
+        assert got.block == want.block
+
+    def test_tick_action_is_composed(self):
+        """composite.rs:1239."""
+        from aic_tpu.block import Composite
+        from aic_tpu.universe import Become
+
+        r1 = block.from_color((1, 0, 0, 1), "r1")
+        r2 = block.from_color((0, 1, 0, 1), "r2")
+        b1 = block.from_color((1, 1, 1, 1)).with_attributes(tick_action=Become(r1))
+        b2 = block.from_color((1, 1, 1, 1)).with_attributes(tick_action=Become(r2))
+        got = self._compose(b1, b2).attributes.tick_action
+        assert isinstance(got, Become)
+        assert got.block == r2.with_modifier(
+            Composite(source=r1, operator="over")
+        )
+
+    def test_non_become_actions_dropped(self):
+        """composite.rs:655 — only Become composes; others drop."""
+        from aic_tpu.block import AIR
+        from aic_tpu.universe import DestroyTo
+
+        b1 = block.from_color((1, 1, 1, 1)).with_attributes(
+            tick_action=DestroyTo(AIR)
+        )
+        b2 = block.from_color((1, 1, 1, 1))
+        assert self._compose(b1, b2).attributes.tick_action is None
