@@ -245,6 +245,7 @@ class Session:
             img = overlay_wireframes(
                 img, cam, [(cursor_wireframe(self._last_cursor.cube), (255, 255, 255))]
             )
+        img = self._debug_overlays(img, cam)
         # Info-text overlay content (the reference's info-text window,
         # session.rs info_text): frame time + moving-average FPS.
         dt = _time.perf_counter() - t0
@@ -254,6 +255,52 @@ class Session:
             f"{cam.viewport.width}x{cam.viewport.height}"
         )
         return Rendering(cam.viewport.width, cam.viewport.height, img)
+
+    def _debug_overlays(self, img, cam):
+        """GraphicsOptions debug wireframes (graphics_options.rs:121-152;
+        gpu common/debug_lines.rs): chunk boxes, the character's
+        collision box, and light rays at the cursor."""
+        opts = self.options
+        sets = []
+        from ..raytrace.lines import wireframe_box
+
+        if getattr(opts, "debug_collision_boxes", False) and self.character is not None:
+            u = self.universe
+            i = self.character.body_index
+            pos = np.asarray(u.bodies.position)[i]
+            lo = pos + np.asarray(u.bodies.box_lo)[i]
+            hi = pos + np.asarray(u.bodies.box_hi)[i]
+            sets.append((wireframe_box(lo, hi), (0, 255, 0)))
+        if getattr(opts, "debug_chunk_boxes", False) and self.character is not None:
+            # 16³ chunk boundaries around the eye (chunking.rs CHUNK_SIZE).
+            eye = np.asarray(cam.view_position, np.float64)
+            base = np.floor(eye / 16.0).astype(int)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        lo = (base + (dx, dy, dz)) * 16
+                        sets.append(
+                            (wireframe_box(lo, lo + 16), (90, 90, 255))
+                        )
+        if (
+            getattr(opts, "debug_light_rays_at_cursor", False)
+            and self._last_cursor is not None
+        ):
+            # A sample of the 602-ray light chart from the cursor cube
+            # (gpu everything.rs light-ray debug visualization).
+            from ..light.chart import generate_directions
+
+            c = np.asarray(self._last_cursor.cube, np.float64) + 0.5
+            dirs = generate_directions()[0][::40]
+            segs = np.stack(
+                [np.broadcast_to(c, (len(dirs), 3)), c + dirs * 3.0], axis=1
+            )
+            sets.append((segs, (255, 255, 0)))
+        if sets:
+            from ..raytrace.lines import overlay_wireframes
+
+            img = overlay_wireframes(img, cam, sets)
+        return img
 
     def update_cursor(self):
         """Re-run the cursor raycast from the eye (Session::update_cursor,
@@ -388,7 +435,9 @@ class Session:
         state = self.universe.get_state(ch.space_name)
         cam = self.eye_camera()
         world_light, world_trans = render_hdr(state, cam)
-        if getattr(self, "ui_state", None) is not None:
+        if getattr(self, "ui_state", None) is not None and getattr(
+            self.options, "show_ui", True
+        ):
             if self.paused:
                 ui_light, ui_trans = render_hdr(
                     self._pause_state, self._pause_camera, include_sky=False

@@ -109,6 +109,8 @@ class Camera:
         aspect = self.viewport.aspect
         near = self.near_plane_distance()
         far = self.options.view_distance
+        if getattr(self.options, "debug_reduce_view_frustum", False):
+            far = far / 2.0  # graphics_options.rs:152 debugging aid
         # Column-vector convention; clip = P @ eye. (The reference writes the
         # same matrix in row-vector form, camera.rs:396-401.)
         projection = np.array(

@@ -76,11 +76,44 @@ def project_segments(camera, segments: np.ndarray):
     return np.asarray(out, np.float64).reshape(-1, 2, 2)
 
 
+def _clip_to_rect(x0, y0, x1, y1, w, h):
+    """Liang–Barsky clip of a segment to [0,w)×[0,h). Returns clipped
+    endpoints or None. Near-plane-clipped segments can project to ±1e9
+    px; without this, rasterization would try to allocate that many
+    steps."""
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, x0),
+        (dx, w - 1 - x0),
+        (-dy, y0),
+        (dy, h - 1 - y0),
+    ):
+        if p == 0:
+            if q < 0:
+                return None
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return None
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return None
+            t1 = min(t1, r)
+    return (x0 + dx * t0, y0 + dy * t0, x0 + dx * t1, y0 + dy * t1)
+
+
 def draw_segments(image: np.ndarray, px_segments, color=(255, 255, 255)) -> None:
     """Bresenham the pixel segments into an sRGB(A) image in place."""
     h, w = image.shape[:2]
     color = np.asarray(color, image.dtype)
     for (x0, y0), (x1, y1) in np.asarray(px_segments, np.float64):
+        clipped = _clip_to_rect(x0, y0, x1, y1, w, h)
+        if clipped is None:
+            continue
+        x0, y0, x1, y1 = clipped
         n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) + 1
         xs = np.round(np.linspace(x0, x1, n)).astype(int)
         ys = np.round(np.linspace(y0, y1, n)).astype(int)

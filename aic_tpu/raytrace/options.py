@@ -51,6 +51,27 @@ class GraphicsOptions:
     bounce_samples: int = 8
     antialiasing: bool = False
     bloom_intensity: float = 0.125
+    #: RenderMethod (graphics_options.rs:31): "preferred" lets the
+    #: frontend choose; "mesh" forces the mesh path, "reference" the
+    #: raytracer. Our headless session always raytraces; exporters use
+    #: the mesh path — the field records the request for session logic.
+    render_method: str = "preferred"
+    #: Whether the HUD/UI layer is composited (graphics_options.rs:102).
+    show_ui: bool = True
+    #: Info-text overlay toggle (graphics_options.rs:108).
+    debug_info_text: bool = True
+    #: Debug overlays (graphics_options.rs:121-152), drawn as projected
+    #: wireframes by the session (raytrace/lines.py).
+    debug_behaviors: bool = False
+    debug_chunk_boxes: bool = False
+    debug_collision_boxes: bool = False
+    debug_light_rays_at_cursor: bool = False
+    #: Shade each pixel by its traversal step count instead of color
+    #: (graphics_options.rs:145; our tracer counts loop steps per ray).
+    debug_pixel_cost: bool = False
+    #: Halve the view distance for culling/frustum debugging
+    #: (graphics_options.rs:152).
+    debug_reduce_view_frustum: bool = False
 
     @staticmethod
     def default() -> "GraphicsOptions":

@@ -183,6 +183,8 @@ def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rende
             camera.viewport.height,
             np.zeros((camera.viewport.height, camera.viewport.width, 4), np.uint8),
         )
+    if getattr(camera.options, "debug_pixel_cost", False):
+        return render_pixel_cost(state, camera)
     n_cubes = int(np.prod(state.contents.shape))
     if n_cubes > AUTO_WINDOW_VOLUME:
         from ..space.state import visible_light_volume, window_state
@@ -206,6 +208,29 @@ def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rende
     return Rendering(
         camera.viewport.width, camera.viewport.height, img, tuple(flaws)
     )
+
+
+def render_pixel_cost(state: SpaceState, camera: Camera) -> Rendering:
+    """debug_pixel_cost (graphics_options.rs:145): shade each pixel by
+    its traversal step count — a cost heatmap (black = cheap, white =
+    expensive, red channel saturates first like the wgpu debug view)."""
+    from .tracer import trace_rays
+
+    origins, directions = camera.pixel_rays()
+    _, _, steps = trace_rays(
+        state, origins, directions, camera.options, count_steps=True
+    )
+    steps = np.asarray(steps).astype(np.float32)
+    scale = max(float(steps.max()), 1.0)
+    t = steps / scale
+    r = np.clip(t * 3.0, 0.0, 1.0)
+    g = np.clip(t * 3.0 - 1.0, 0.0, 1.0)
+    b = np.clip(t * 3.0 - 2.0, 0.0, 1.0)
+    img = np.stack(
+        [r, g, b, np.ones_like(t)], axis=-1
+    )
+    img = np.round(img * 255.0).astype(np.uint8)
+    return Rendering(camera.viewport.width, camera.viewport.height, img)
 
 
 def save_png(rendering: Rendering, path: str):

@@ -339,7 +339,7 @@ def _apply_transmittance_jax(alpha, thickness):
     jax.jit,
     static_argnames=(
         "options", "include_sky", "max_steps", "phases", "substeps", "compact",
-        "return_stats", "beam_tile", "return_hits",
+        "return_stats", "beam_tile", "return_hits", "count_steps",
     ),
 )
 def trace_rays(
@@ -355,6 +355,7 @@ def trace_rays(
     return_stats: bool = False,
     beam_tile: int = 8,
     return_hits: bool = False,
+    count_steps: bool = False,
     illum_override=None,
 ):
     """Trace rays (world coords, any batch shape (..., 3)). Returns
@@ -611,6 +612,10 @@ def trace_rays(
         hit_next_t=jnp.zeros(n_rays, jnp.float32),
         hit_cube=zero3i,
     )
+    if count_steps:
+        # Per-ray traversal cost accumulator (debug_pixel_cost,
+        # graphics_options.rs:145).
+        init["steps"] = jnp.zeros(n_rays, jnp.int32)
 
     def sub_step(st, ctx, row, bkey):
         # Local aliases shadow the full-width closures so the same body
@@ -764,7 +769,10 @@ def trace_rays(
         walking = walking & ~got_hit & ~exit_outer
         exited = st["exited"] | exit_outer
 
+        # dict(st, ...) preserves optional extra state (e.g. the
+        # debug_pixel_cost step counter) through the loop.
         return dict(
+            st,
             cube=cube,
             tmax=tmax,
             mode=mode,
@@ -796,6 +804,13 @@ def trace_rays(
         row = jnp.take(cells_rows, jnp.clip(bkey, 0, total_bricks - 1), axis=0)
         for _ in range(substeps):
             st = sub_step(st, ctx, row, bkey)
+        if "steps" in st:
+            # Per-ray traversal cost (debug_pixel_cost): substeps per
+            # iteration while the ray still walks.
+            st = dict(
+                st,
+                steps=st["steps"] + st["walking"].astype(jnp.int32) * substeps,
+            )
         return st
 
     iters_used = []  # per-phase loop iteration counts (for return_stats)
@@ -989,6 +1004,8 @@ def trace_rays(
         first = dict(all_hits[0])
         first["phases"] = all_hits
         out = out + (first,)
+    if count_steps:
+        out = out + (st["steps"].reshape(batch_shape),)
     return out
 
 

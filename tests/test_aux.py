@@ -375,3 +375,68 @@ class TestAmbientSound:
         assert warnings == []
         blk = u2.spaces["world"].block_at((0, 0, 0))
         assert blk.attributes.ambient_sound == bands
+
+
+class TestDebugOptions:
+    """GraphicsOptions debug surface (graphics_options.rs:102-152)."""
+
+    def _session(self):
+        from aic_tpu import block
+        from aic_tpu.apps.session import Session
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.raytrace import GraphicsOptions, Viewport
+        from aic_tpu.space import Space
+
+        u = Universe()
+        sp = Space(GridAab.from_lower_size((-4, 0, -4), (8, 6, 8)))
+        sp.fill(GridAab.from_lower_size((-4, 0, -4), (8, 1, 8)), block.from_color((.5,.5,.5,1)))
+        u.insert_space("world", sp)
+        u.light_rounds_per_tick = 0
+        u.insert_character("player", "world", (0.5, 2.0, 0.5))
+        s = Session(u, viewport=Viewport(32, 32))
+        return s
+
+    def test_debug_overlays_render(self):
+        import dataclasses
+
+        s = self._session()
+        s.options = dataclasses.replace(
+            s.options,
+            debug_chunk_boxes=True,
+            debug_collision_boxes=True,
+        )
+        base = self._session().render().data
+        img = s.render().data
+        assert img.shape == base.shape
+        assert (img != base).any()  # overlays drew something
+
+    def test_debug_pixel_cost_heatmap(self):
+        import dataclasses
+
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+        from aic_tpu.raytrace.render import render
+
+        s = self._session()
+        state = s.universe.get_state("world")
+        cam = Camera(
+            dataclasses.replace(GraphicsOptions(), debug_pixel_cost=True),
+            Viewport(24, 24),
+        )
+        cam.look_at((0.5, 3.0, 6.0), (0.5, 1.0, 0.5))
+        img = render(state, cam).data
+        # Heatmap: red channel varies with traversal cost.
+        assert img[..., 0].std() > 0
+
+    def test_reduce_view_frustum_halves_far(self):
+        import dataclasses
+
+        from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
+
+        c1 = Camera(GraphicsOptions(), Viewport(8, 8))
+        c2 = Camera(
+            dataclasses.replace(GraphicsOptions(), debug_reduce_view_frustum=True),
+            Viewport(8, 8),
+        )
+        o1, d1 = c1.project_ndc_into_world(np.array([0.0, 0.0]))
+        o2, d2 = c2.project_ndc_into_world(np.array([0.0, 0.0]))
+        assert abs(d2[2]) < abs(d1[2]) * 0.6  # far plane halved
