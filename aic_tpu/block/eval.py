@@ -467,8 +467,35 @@ def _compose_attributes(src_att, dst_att, modifier, block, index):
         animated=src_att.animated or dst_att.animated,
         rotation_rule=dst_att.rotation_rule,
         tags=dst_att.tags + src_att.tags,
-        inventory=dst_att.inventory or src_att.inventory,
+        inventory=_concat_inv_in_block(src_att.inventory, dst_att.inventory),
         ambient_sound=dst_att.ambient_sound,
+    )
+
+
+def _concat_inv_in_block(src_inv, dst_inv):
+    """inv::InvInBlock::concatenate(src, dst) (inv_in_block.rs:222,
+    applied by composite.rs:270): the composed block has the size and
+    display of both; dst's icon rows are re-based past src's slots."""
+    import dataclasses
+
+    if src_inv is None:
+        return dst_inv
+    if dst_inv is None:
+        return src_inv
+    if src_inv.inventory_size == 0:
+        return dst_inv
+    rows = list(src_inv.icon_rows)
+    for r in dst_inv.icon_rows:
+        rows.append(
+            dataclasses.replace(
+                r, first_slot=r.first_slot + src_inv.inventory_size
+            )
+        )
+    return model.InvInBlock(
+        inventory_size=src_inv.inventory_size + dst_inv.inventory_size,
+        icon_scale=src_inv.icon_scale,
+        render_resolution=src_inv.render_resolution,
+        icon_rows=tuple(rows),
     )
 
 

@@ -122,7 +122,12 @@ class _Importer:
         for name in self.space_schemas:
             self._space(name)
         for name, sp in self.spaces.items():
-            u.insert_space(name, sp)
+            if Universe.is_anonymous(name):
+                # Anonymous members (Name::Anonym) re-enter through the
+                # anonymous path, preserving their gc semantics.
+                u.insert_space(name, sp, _anonymous=True)
+            else:
+                u.insert_space(name, sp)
         for name, light in self.lights.items():
             # Imported stored light: apply onto the snapshot.
             import dataclasses
@@ -197,7 +202,15 @@ class _Importer:
         size = bounds.size
         contents = np.frombuffer(_gunzip(d["contents"]), dtype="<u2").reshape(size)
         lower = bounds.lower
-        for idx in range(1, len(palette)):
+        # Palette slot 0 is NOT guaranteed to be AIR: the reference's
+        # Palette::new seeds slot 0 with the SpaceBuilder fill block
+        # (space/builder.rs filled_with), so a save of a filled space can
+        # use index 0 for a solid block. Fill those cells too (but skip
+        # the overwhelmingly common all-air slot 0 for speed).
+        start_idx = 1
+        if palette and palette[0] != AIR:
+            start_idx = 0
+        for idx in range(start_idx, len(palette)):
             cells = np.argwhere(contents == idx)
             blk = palette[idx]
             for rel in cells:
@@ -448,7 +461,44 @@ def _gz_b64(data: bytes) -> dict:
     return {"Base64Gzip": base64.b64encode(gzip.compress(data, 1)).decode()}
 
 
+def _name_to_schema(name: str) -> dict:
+    """Inverse of _handle_name's name mapping: anonymous members
+    serialize as Name::Anonym (schema.rs NameSer), not Specific."""
+    if name.startswith("[anonymous #") and name.endswith("]"):
+        return {"Anonym": int(name[len("[anonymous #") : -1])}
+    return {"Specific": name}
+
+
 _LIGHT_STATUS_INV = {v: k for k, v in _LIGHT_STATUS.items()}
+
+
+def _operation_to_schema(op, space_names: dict):
+    """Inverse of _Importer._operation for the operation kinds we model.
+    Returns None (caller records a dropped-attribute warning) for kinds
+    with no schema mapping."""
+    from ..universe.op import Alt, Become, DestroyTo, Neighbors
+
+    if isinstance(op, Become):
+        return {"type": "BecomeV1", "block": _block_to_schema(op.block, space_names)}
+    if isinstance(op, DestroyTo):
+        return {
+            "type": "DestroyToV1",
+            "block": _block_to_schema(op.block, space_names),
+        }
+    if isinstance(op, Alt):
+        subs = [_operation_to_schema(o, space_names) for o in op.ops]
+        if any(s is None for s in subs):
+            return None
+        return {"type": "AltV1", "ops": subs}
+    if isinstance(op, Neighbors):
+        pairs = []
+        for off, sub in op.ops:
+            sub_s = _operation_to_schema(sub, space_names)
+            if sub_s is None:
+                return None
+            pairs.append([list(int(v) for v in off), sub_s])
+        return {"type": "NeighborsV1", "neighbors": pairs}
+    return None
 
 
 def _block_to_schema(blk: Block, space_names: dict) -> dict:
@@ -467,7 +517,7 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
             raise ValueError("Recur block references a space not in the universe")
         prim = {
             "type": "RecurV1",
-            "space": {"type": "HandleV1", "Specific": name},
+            "space": {"type": "HandleV1", **_name_to_schema(name)},
             "resolution": int(p.resolution),
         }
         if any(p.offset):
@@ -536,6 +586,35 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
                 ],
             }
         )
+    if a.tick_action is not None:
+        op_s = _operation_to_schema(a.tick_action, space_names)
+        if op_s is not None:
+            mods.append(
+                {
+                    "type": "TickActionV1",
+                    "tick_action": {
+                        "operation": op_s,
+                        "schedule": {
+                            "type": "ScheduleV1",
+                            "period": int(a.tick_period or 1),
+                        },
+                    },
+                }
+            )
+    if a.activation_action is not None:
+        op_s = _operation_to_schema(a.activation_action, space_names)
+        if op_s is not None:
+            mods.append(
+                {"type": "ActivationActionV1", "activation_action": op_s}
+            )
+    if getattr(a, "animated", False):
+        mods.append(
+            {
+                "type": "AnimationHintV1",
+                "redefinition": "Shape",
+                "replacement": "None",
+            }
+        )
     for m in blk.modifiers:
         if isinstance(m, Quote):
             mods.append({"type": "QuoteV1", "suppress_ambient": m.suppress_ambient})
@@ -560,16 +639,24 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
         elif isinstance(m, Move):
             # Our distance is in 1/256ths; the schema wants units of
             # 1/resolution with resolution ≤ R128. Pick the coarsest
-            # resolution representing the distance exactly.
+            # resolution representing the distance exactly; odd 1/256
+            # values have none, so round explicitly at R128 (nearest)
+            # rather than silently floor-dividing.
             for res in (1, 2, 4, 8, 16, 32, 64, 128):
                 if m.distance * res % 256 == 0:
                     break
+            sch_dist = (m.distance * res + 128) // 256
+            if not 0 <= sch_dist <= 255:
+                raise ValueError(
+                    f"Move distance {m.distance}/256 exceeds the schema's "
+                    f"u8 range at resolution {res} (got {sch_dist})"
+                )
             mods.append(
                 {
                     "type": "Move",
                     "direction": faces.FACE_NAMES[m.face],
                     "resolution": res,
-                    "distance": m.distance * res // 256,
+                    "distance": sch_dist,
                     "velocity": m.velocity,
                     "schedule": {"type": "ScheduleV1", "period": 1},
                 }
@@ -580,7 +667,7 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
                     "type": "TagV1",
                     "tag": {
                         "type": "TagHandleV1",
-                        "handle": {"type": "HandleV1", "Specific": m.name},
+                        "handle": {"type": "HandleV1", **_name_to_schema(m.name)},
                     },
                 }
             )
@@ -636,7 +723,7 @@ def save_alliscubesjson(universe, path: str) -> None:
         )
         members.append(
             {
-                "name": {"Specific": name},
+                "name": _name_to_schema(name),
                 "member_type": "Space",
                 "value": {
                     "type": "SpaceV1",
@@ -681,7 +768,7 @@ def save_alliscubesjson(universe, path: str) -> None:
     for name, sd in getattr(universe, "sounds", {}).items():
         members.append(
             {
-                "name": {"Specific": name},
+                "name": _name_to_schema(name),
                 "member_type": "Sound",
                 "value": {
                     "type": "SynthesizedSoundV1",
@@ -696,11 +783,11 @@ def save_alliscubesjson(universe, path: str) -> None:
         b = universe.bodies
         members.append(
             {
-                "name": {"Specific": name},
+                "name": _name_to_schema(name),
                 "member_type": "Character",
                 "value": {
                     "type": "CharacterV1",
-                    "space": {"type": "HandleV1", "Specific": ch.space_name},
+                    "space": {"type": "HandleV1", **_name_to_schema(ch.space_name)},
                     "body": {
                         "type": "BodyV1",
                         "position": [float(v) for v in np.asarray(b.position[i])],

@@ -193,26 +193,37 @@ class Universe:
     def gc(self) -> int:
         """universe/gc.rs:55: delete anonymous members unreachable from
         named (root) members. References are object identity: Indirect
-        primitives → BlockDefs, Character.space_name → Spaces. Returns
-        the number of members collected."""
-        from ..block.model import Indirect
+        primitives → BlockDefs, **Recur primitives → Spaces** (gc.rs
+        traces every handle a member holds, and anonymous voxel-source
+        spaces are the reference's standard Recur pattern),
+        Character.space_name → Spaces. Transitive: a live anonymous
+        space's palette keeps what IT references. Returns the number of
+        members collected."""
+        from ..block.model import Indirect, Recur
 
-        def blockdefs_of(block) -> list:
-            out = []
+        live_defs: set[int] = set()  # id(BlockDef)
+        live_space_objs: set[int] = set()  # id(Space)
+        pending_spaces: list = []  # Space objects whose palettes to scan
+
+        def scan_block(block) -> None:
             stack = [block]
             while stack:
                 b = stack.pop()
-                if isinstance(b.primitive, Indirect):
-                    out.append(b.primitive.block_def)
-                    stack.append(b.primitive.block_def.block)
+                p = b.primitive
+                if isinstance(p, Indirect):
+                    if id(p.block_def) not in live_defs:
+                        live_defs.add(id(p.block_def))
+                        stack.append(p.block_def.block)
+                elif isinstance(p, Recur):
+                    if id(p.space) not in live_space_objs:
+                        live_space_objs.add(id(p.space))
+                        pending_spaces.append(p.space)
                 for m in b.modifiers:
                     src = getattr(m, "source", None)
                     if src is not None:
                         stack.append(src)
-            return out
 
-        live_defs = set()
-        live_spaces = set()
+        live_spaces = set()  # names rooted directly
         for name, sp in self.spaces.items():
             if not self.is_anonymous(name):
                 live_spaces.add(name)
@@ -221,14 +232,18 @@ class Universe:
         live_spaces.update(host for host, _, _ in self.behaviors)
         for name in live_spaces:
             sp = self.spaces.get(name)
-            if sp is None:
-                continue
-            for blk in sp.palette:
-                live_defs.update(id(bd) for bd in blockdefs_of(blk))
+            if sp is not None and id(sp) not in live_space_objs:
+                live_space_objs.add(id(sp))
+                pending_spaces.append(sp)
         for name, bd in self.block_defs.items():
             if not self.is_anonymous(name):
                 live_defs.add(id(bd))
-                live_defs.update(id(x) for x in blockdefs_of(bd.block))
+                scan_block(bd.block)
+        while pending_spaces:
+            sp = pending_spaces.pop()
+            for blk in sp.palette:
+                scan_block(blk)
+
         collected = 0
         for name in [
             n
@@ -238,7 +253,11 @@ class Universe:
             del self.block_defs[name]
             collected += 1
         for name in [
-            n for n in self.spaces if self.is_anonymous(n) and n not in live_spaces
+            n
+            for n, sp in self.spaces.items()
+            if self.is_anonymous(n)
+            and n not in live_spaces
+            and id(sp) not in live_space_objs
         ]:
             del self.spaces[name]
             self.states.pop(name, None)
