@@ -206,3 +206,110 @@ def _triangulate_py(mask, ids):
         np.asarray(tris, np.int32).reshape(-1, 3),
         np.asarray(tri_ids, np.uint16),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-procedure relight denominator (ref_relight.cpp)
+# ---------------------------------------------------------------------------
+
+_REF_RELIGHT_SRC = os.path.join(_DIR, "ref_relight.cpp")
+_REF_RELIGHT_SO = os.path.join(_DIR, "_ref_relight.so")
+_ref_relight_lib = None
+_ref_relight_failed = False
+
+
+def _load_ref_relight():
+    global _ref_relight_lib, _ref_relight_failed
+    if _ref_relight_lib is not None or _ref_relight_failed:
+        return _ref_relight_lib
+    try:
+        if not os.path.exists(_REF_RELIGHT_SO) or os.path.getmtime(
+            _REF_RELIGHT_SO
+        ) < os.path.getmtime(_REF_RELIGHT_SRC):
+            subprocess.run(
+                ["g++", "-O2", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+                 _REF_RELIGHT_SRC, "-o", _REF_RELIGHT_SO],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_REF_RELIGHT_SO)
+        p8, p8s, pf, p32, p64 = (
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        )
+        lib.ref_relight_run.restype = ctypes.c_double
+        lib.ref_relight_run.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, p32, ctypes.c_int,
+            p8, p8, pf, pf, pf, pf, ctypes.c_int, ctypes.c_int,
+            p8s, p8, p8, pf, p64, p8,
+        ]
+        _ref_relight_lib = lib
+    except Exception:
+        _ref_relight_failed = True
+    return _ref_relight_lib
+
+
+def ref_relight_state(state, return_light: bool = False):
+    """Run the reference evaluate_light procedure (C++, this host's CPU)
+    on a SpaceState. Returns (seconds, updates) or with return_light,
+    (seconds, updates, light u8[X,Y,Z,4]).
+
+    The denominator for BASELINE's ">=10x faster than reference
+    evaluate_light": same scene tables, same chart, same packed-light
+    encoding as the device kernel; algorithm per updater.rs (see
+    ref_relight.cpp header). Raises RuntimeError when the native
+    component cannot build.
+    """
+    from ..light.update import _chart_host
+
+    lib = _load_ref_relight()
+    if lib is None:
+        raise RuntimeError("ref_relight native component unavailable")
+    t = state.tables
+    contents = np.ascontiguousarray(np.asarray(state.contents), np.int32)
+    sx, sy, sz = contents.shape
+    visible = np.ascontiguousarray(np.asarray(t.visible), np.uint8)
+    opaque_all = np.ascontiguousarray(
+        np.asarray(t.opaque_faces).all(-1), np.uint8
+    )
+    face_rows = np.ascontiguousarray(np.asarray(t.light_face_rows), np.float32)
+    emission = np.ascontiguousarray(np.asarray(t.light_emission), np.float32)
+    mean_alpha = np.ascontiguousarray(
+        np.asarray(t.face_colors)[:, 6, 3], np.float32
+    )
+    sky_faces = np.ascontiguousarray(np.asarray(state.sky_faces), np.float32)
+    ch = _chart_host(state.light_max_distance)
+    offsets = np.ascontiguousarray(ch["offsets"], np.int8)
+    faces_in = np.ascontiguousarray(ch["faces_in"], np.uint8)
+    kinds = np.ascontiguousarray(ch["kinds"], np.uint8)
+    cosines = np.ascontiguousarray(ch["cosines"], np.float32)
+    stats = np.zeros(2, np.int64)
+    out_light = (
+        np.zeros((sx, sy, sz, 4), np.uint8) if return_light else None
+    )
+    cp = lambda a, ty: a.ctypes.data_as(ctypes.POINTER(ty))
+    secs = lib.ref_relight_run(
+        sx, sy, sz, cp(contents, ctypes.c_int32), visible.shape[0],
+        cp(visible, ctypes.c_uint8), cp(opaque_all, ctypes.c_uint8),
+        cp(face_rows, ctypes.c_float), cp(emission, ctypes.c_float),
+        cp(mean_alpha, ctypes.c_float), cp(sky_faces, ctypes.c_float),
+        int(ch["n_rays"]), int(ch["max_steps"]),
+        cp(offsets, ctypes.c_int8), cp(faces_in, ctypes.c_uint8),
+        cp(kinds, ctypes.c_uint8), cp(cosines, ctypes.c_float),
+        cp(stats, ctypes.c_int64),
+        cp(out_light, ctypes.c_uint8) if return_light else None,
+    )
+    if return_light:
+        return float(secs), int(stats[0]), out_light
+    return float(secs), int(stats[0])
+
+
+def ref_relight_light_bench():
+    """Measure the reference procedure on the reference's own benchmark
+    scene (content/testing.rs light_bench_space 54x16x54; benches
+    light.rs:27-67 "eval/full"). Returns (seconds, n_cubes)."""
+    from ..content.testing import light_bench_space
+
+    state = light_bench_space().snapshot()
+    secs, _ = ref_relight_state(state)
+    return secs, int(np.prod(np.asarray(state.contents).shape))

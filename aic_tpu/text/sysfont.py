@@ -1,0 +1,143 @@
+"""System font glyphs for info-text overlays and Text blocks.
+
+The reference renders info text with its embedded 7×16 monospaced bitmap
+font (all-is-cubes/src/text/font.rs FONT_SYSTEM_16, atlas
+font-system-7x16.png, 16 glyphs/row, repertoire ISO-8859-1), drawing each
+glyph as Foreground pixels plus an 8-neighborhood Outline
+(font.rs:434-443 "brush"). Glyphs are drawn in layout order and a later
+glyph's outline may overwrite an earlier glyph's foreground
+(font.rs:156-165 caution) — draw_info_text assigns paint directly
+(render/src/raytracer/renderer.rs:659-683).
+
+We load the atlas from the reference checkout when present (the same
+way the golden PNGs are used: as the conformance contract's data, not
+code). When the reference tree is absent (a deployed install), a PIL
+bitmap font builds a same-shaped atlas so the API keeps working; only
+pixel-exact golden conformance needs the original.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+ATLAS_PATH = "/root/reference/all-is-cubes/src/text/font-system-7x16.png"
+GLYPHS_PER_ROW = 16
+CHAR_W, CHAR_H = 7, 16
+BASELINE = 13
+
+VALUE_NONE = 0
+VALUE_OUTLINE = 1
+VALUE_FOREGROUND = 2
+
+
+def char_to_glyph_index(c: str) -> int:
+    """font.rs:213 char_to_glyph_index: ISO-8859-1 + quote lookalikes."""
+    if c in "‘’":
+        c = "'"
+    elif c in "“”":
+        c = '"'
+    o = ord(c)
+    if 0x20 <= o <= 0x7F:
+        return o - 0x20
+    if 0x80 <= o <= 0xFF:
+        return o - 0x40
+    return 0x1F  # '?'
+
+
+@functools.lru_cache(maxsize=1)
+def _glyph_masks() -> np.ndarray:
+    """bool[n_glyphs, CHAR_H, CHAR_W] foreground masks."""
+    if os.path.exists(ATLAS_PATH):
+        from PIL import Image
+
+        img = np.asarray(Image.open(ATLAS_PATH).convert("RGBA"))
+        # rgba_to_bit (font.rs:556): r > 0 and a > 0.
+        fg = (img[..., 0] > 0) & (img[..., 3] > 0)
+        rows = img.shape[0] // CHAR_H
+        masks = (
+            fg.reshape(rows, CHAR_H, GLYPHS_PER_ROW, CHAR_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * GLYPHS_PER_ROW, CHAR_H, CHAR_W)
+        )
+        return masks
+    # Fallback: PIL default bitmap font scaled into 7x16 cells.
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    masks = np.zeros((224, CHAR_H, CHAR_W), bool)
+    for gi in range(224):
+        o = gi + 0x20 if gi < 0x60 else gi + 0x40
+        im = Image.new("L", (CHAR_W, CHAR_H), 0)
+        ImageDraw.Draw(im).text((0, 2), chr(o), fill=255, font=font)
+        masks[gi] = np.asarray(im) > 0
+    return masks
+
+
+@functools.lru_cache(maxsize=256)
+def _glyph_value_map(glyph_index: int):
+    """Per-glyph value map with its outline: (values u8[h, w], origin
+    (dy, dx)) — origin is the offset of the map's top-left relative to
+    the glyph cell's top-left (outline spills 1px beyond set pixels).
+    Returns None for empty glyphs."""
+    masks = _glyph_masks()
+    if glyph_index >= len(masks):
+        glyph_index = 0x1F
+    fg = masks[glyph_index]
+    if not fg.any():
+        return None
+    pad = np.zeros((CHAR_H + 2, CHAR_W + 2), bool)
+    pad[1:-1, 1:-1] = fg
+    outline = np.zeros_like(pad)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            outline |= np.roll(np.roll(pad, dy, 0), dx, 1)
+    values = np.where(pad, VALUE_FOREGROUND, np.where(outline, VALUE_OUTLINE, 0))
+    ys, xs = np.nonzero(values)
+    y0, y1 = ys.min(), ys.max() + 1
+    x0, x1 = xs.min(), xs.max() + 1
+    return values[y0:y1, x0:x1].astype(np.uint8), (int(y0) - 1, int(x0) - 1)
+
+
+def draw_text_values(canvas: np.ndarray, text: str, origin=(5, 5)) -> None:
+    """Paint glyph values (1=outline, 2=foreground) into `canvas`
+    (u8[H, W]) at pixel `origin`, monospaced, lines top-down — the
+    layout of FontDef::draw_str_monospaced (Left / BodyTop) as used by
+    draw_info_text (renderer.rs:659: origin (5,5)).
+
+    Glyphs are painted in order with direct assignment, replicating the
+    reference's overlap semantics exactly.
+    """
+    h, w = canvas.shape[:2]
+    oy, ox = origin
+    for line_no, line in enumerate(text.split("\n")):
+        for col, c in enumerate(line):
+            gm = _glyph_value_map(char_to_glyph_index(c))
+            if gm is None:
+                continue
+            values, (dy, dx) = gm
+            gy = oy + line_no * CHAR_H + dy
+            gx = ox + col * CHAR_W + dx
+            for yy in range(values.shape[0]):
+                py = gy + yy
+                if not (0 <= py < h):
+                    continue
+                for xx in range(values.shape[1]):
+                    px = gx + xx
+                    v = values[yy, xx]
+                    if v and 0 <= px < w:
+                        canvas[py, px] = v
+
+
+def draw_info_text(image: np.ndarray, text: str, scale: int = 1) -> None:
+    """Draw info text into an sRGB RGBA image in place: outline black,
+    foreground white (renderer.rs:208-216 paint array).
+
+    `scale` is unused by the reference (draw_info_text has a TODO about
+    scaling); kept for API completeness."""
+    values = np.zeros(image.shape[:2], np.uint8)
+    draw_text_values(values, text)
+    image[values == VALUE_OUTLINE] = (0, 0, 0, 255)
+    image[values == VALUE_FOREGROUND] = (255, 255, 255, 255)

@@ -4,9 +4,16 @@ Headline: raytrace throughput on the NORTH-STAR config (BASELINE.json
 config 4): the Atrium template at 1920×1080 with recursive R16 blocks and
 emissive lighting, smoothstep light display. `vs_baseline` is the ratio
 against the 100 Mrays/sec north-star target (the reference publishes no
-absolute numbers — BASELINE.md). Extra fields cover BASELINE configs 1-2:
-cornell-box 256² trace and full relight convergence (cornell 32³ and the
-reference's light_bench 54×16×54 scene).
+absolute numbers — BASELINE.md). Extra fields cover BASELINE configs 1-3:
+cornell-box 256² trace, full relight convergence (cornell 32³ and the
+reference's light_bench 54×16×54 scene) with the reference-procedure
+C++ denominator ratio, and the demo-city step loop (60 Hz budget).
+
+Degraded mode: the axon TPU tunnel can be unreachable for whole sessions
+(any first device use hangs — see project memory). bench.py probes the
+backend in a subprocess with a timeout; on failure it emits ONE JSON line
+with `"error": "backend-unavailable"` plus a small CPU-platform smoke
+measurement, so outage rounds are distinguishable from perf regressions.
 
 Timing note: on the tunneled TPU backend `jax.block_until_ready` can
 return before execution completes; every timed section syncs by copying
@@ -16,9 +23,14 @@ one element to host (np.asarray), which is reliable.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+PROBE_TIMEOUT_S = 90
 
 
 def _sync(x):
@@ -37,8 +49,48 @@ def _time(fn, n=5):
     return (time.perf_counter() - t0) / n
 
 
-def main():
+def _probe_backend() -> bool:
+    """True if the default jax backend (axon TPU) is reachable.
+
+    Runs in a subprocess because a down tunnel makes jax.devices() hang
+    forever in-process (no exception to catch)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; d=jax.devices(); print(d[0].platform)"],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+            text=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _relight_reference_ratio(extra):
+    """Reference-procedure relight denominator (VERDICT r2 ask #2).
+
+    scripts/ref_relight.cpp re-implements the reference's evaluate_light
+    procedure (602-ray chart walk per cube, queue to convergence) in C++;
+    native.ref_relight_light_bench() runs it on this host's CPU. The
+    ratio >1 means our device relight converges faster than the
+    reference procedure does on CPU."""
+    try:
+        from aic_tpu.native import ref_relight_light_bench
+
+        ref_s, ref_cubes = ref_relight_light_bench()
+        extra["relight_reference_light_bench_s"] = round(ref_s, 3)
+        extra["relight_reference_threads"] = os.cpu_count()
+        ours = extra.get("relight_light_bench_s")
+        if ours:
+            extra["relight_vs_reference_ratio"] = round(ref_s / ours, 2)
+    except Exception as e:  # pragma: no cover - denominator is best-effort
+        extra["relight_reference_error"] = f"{type(e).__name__}: {e}"
+
+
+def run_suite(smoke: bool = False):
+    """Measure everything; `smoke` shrinks shapes for the CPU platform."""
     from aic_tpu.content import atrium, cornell_box
+    from aic_tpu.content.template import TemplateParameters, build_universe
     from aic_tpu.content.testing import light_bench_space
     from aic_tpu.light import build_relight_ctx, evaluate_light_dense
     from aic_tpu.raytrace import Camera, GraphicsOptions, Viewport
@@ -47,10 +99,12 @@ def main():
     extra = {}
 
     # --- relight metrics (BASELINE config 2) -----------------------------
-    for name, space in (
-        ("cornell32", cornell_box(32)),
-        ("light_bench", light_bench_space()),
-    ):
+    relight_cases = (
+        [("cornell32", cornell_box(16 if smoke else 32))]
+        if smoke
+        else [("cornell32", cornell_box(32)), ("light_bench", light_bench_space())]
+    )
+    for name, space in relight_cases:
         state = space.snapshot()
         n_cubes = int(np.prod(state.contents.shape))
         ctx = build_relight_ctx(state)
@@ -65,31 +119,81 @@ def main():
         extra[f"relight_{name}_cube_updates_per_s"] = round(n_cubes * passes / dt)
         if name == "cornell32":
             cornell_state = lit
+    if not smoke:
+        _relight_reference_ratio(extra)
 
     # --- cornell 256² trace (BASELINE config 1) ---------------------------
     opts = GraphicsOptions(
         lighting_display="smoothstep", fog="none", transparency="surface"
     )
-    cam = Camera(opts, Viewport(256, 256))
-    cam.look_at(np.array([0.5, 0.5, 1.6]) * 32, (16, 16, 16))
+    res = 64 if smoke else 256
+    cam = Camera(opts, Viewport(res, res))
+    box = 16 if smoke else 32
+    cam.look_at(np.array([0.5, 0.5, 1.6]) * box, (box / 2,) * 3)
     o, d = cam.pixel_rays()
-    dt = _time(lambda: trace_rays(cornell_state, o, d, opts)[0], n=10)
-    extra["raytrace_cornell256_mrays"] = round(256 * 256 / dt / 1e6, 3)
+    dt = _time(lambda: trace_rays(cornell_state, o, d, opts)[0], n=3 if smoke else 10)
+    extra[f"raytrace_cornell{res}_mrays"] = round(res * res / dt / 1e6, 3)
+
+    # --- demo-city step loop (BASELINE config 3: 60 Hz budget) ------------
+    if not smoke:
+        u = build_universe("demo-city", TemplateParameters(seed=0))
+        for _ in range(3):  # warm compile caches (physics + light kernels)
+            u.step()
+        t0 = time.perf_counter()
+        n_steps = 30
+        for _ in range(n_steps):
+            info = u.step()
+        _sync(next(iter(u.states.values())).light)
+        extra["step_demo_city_ms"] = round(
+            (time.perf_counter() - t0) / n_steps * 1e3, 2
+        )
+        extra["step_demo_city_60hz"] = extra["step_demo_city_ms"] <= 16.6
 
     # --- headline: atrium 1080p (north star, BASELINE config 4) ----------
-    space = atrium()
+    space = atrium(width=24, depth=16, floors=2) if smoke else atrium()
     state = space.snapshot()
     state, _ = evaluate_light_dense(state)
-    w, h = 1920, 1080
+    w, h = (192, 108) if smoke else (1920, 1080)
     cam = Camera(opts, Viewport(w, h))
     sz = np.asarray(state.contents.shape, np.float64)
     lo = np.asarray(state.lower, np.float64)
     cam.look_at(lo + sz * np.array([0.5, 0.75, 0.9]), lo + sz / 2)
     o, d = cam.pixel_rays()
-    dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=5)
+    dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=2 if smoke else 5)
     mrays = w * h / dt / 1e6
     extra["atrium_frame_ms"] = round(dt * 1e3, 1)
+    return mrays, extra
 
+
+def main():
+    if not _probe_backend():
+        # Outage: make the record legible (VERDICT r2 ask #10). Re-run on
+        # the CPU platform at smoke shapes; jax.config.update must happen
+        # before any device use (see memory: env vars are a no-op when the
+        # axon sitecustomize already imported jax).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            mrays, extra = run_suite(smoke=True)
+            smoke_out = {"atrium_smoke_mrays_cpu": round(mrays, 3), **extra}
+        except Exception as e:
+            smoke_out = {"smoke_error": f"{type(e).__name__}: {e}"}
+        print(
+            json.dumps(
+                {
+                    "metric": "raytrace_atrium1080p_smoothstep",
+                    "value": 0.0,
+                    "unit": "Mrays/sec",
+                    "vs_baseline": 0.0,
+                    "error": "backend-unavailable",
+                    "cpu_smoke": smoke_out,
+                }
+            )
+        )
+        return
+
+    mrays, extra = run_suite()
     print(
         json.dumps(
             {
