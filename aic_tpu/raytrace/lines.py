@@ -128,3 +128,50 @@ def overlay_wireframes(image: np.ndarray, camera, segment_sets) -> np.ndarray:
         if len(segments):
             draw_segments(out, project_segments(camera, segments), color)
     return out
+
+
+def draw_segments_depth(
+    image: np.ndarray, camera, segments: np.ndarray, color, scene_dist: np.ndarray
+) -> None:
+    """Depth-tested world-space line drawing (the wgpu lines pipeline
+    draws cursor/debug lines WITH the scene depth buffer, so hidden
+    edges are occluded — all-is-cubes-gpu lines pass).
+
+    segments: f64[N,2,3] world space; scene_dist: f32[H,W] eye distance
+    of the first surface per pixel (+inf for misses). Each segment is
+    sampled densely in world space; each sample is projected and plotted
+    only when its eye distance passes the depth test (small relative
+    bias, the analog of the geometry's own z-fighting offset)."""
+    h, w = image.shape[:2]
+    color = np.asarray(color, image.dtype)
+    m = np.linalg.inv(camera.inverse_projection_view)
+    eye = np.asarray(camera.view_position, np.float64)
+    for a, b in np.asarray(segments, np.float64):
+        ha = m @ np.append(a, 1.0)
+        hb = m @ np.append(b, 1.0)
+        if ha[3] <= 1e-9 and hb[3] <= 1e-9:
+            continue
+        # Estimate pixel length from (near-clipped) endpoints.
+        def _px(hp):
+            p = hp[:3] / hp[3]
+            return np.array(
+                [(p[0] * 0.5 + 0.5) * w - 0.5, (0.5 - p[1] * 0.5) * h - 0.5]
+            )
+        ca, cb = ha, hb
+        if ca[3] <= 1e-9 or cb[3] <= 1e-9:
+            t = (1e-9 - ca[3]) / (cb[3] - ca[3])
+            p = ca + (cb - ca) * t
+            ca, cb = (p, cb) if ca[3] <= 1e-9 else (ca, p)
+        n = int(np.clip(np.abs(_px(cb) - _px(ca)).max() * 2 + 2, 2, 4 * (w + h)))
+        ts = np.linspace(0.0, 1.0, n)
+        pts = a[None, :] + (b - a)[None, :] * ts[:, None]
+        homo = np.concatenate([pts, np.ones((n, 1))], axis=1) @ m.T
+        ok = homo[:, 3] > 1e-9
+        ndc = homo[ok, :3] / homo[ok, 3:4]
+        xs = np.round((ndc[:, 0] * 0.5 + 0.5) * w - 0.5).astype(int)
+        ys = np.round((0.5 - ndc[:, 1] * 0.5) * h - 0.5).astype(int)
+        dist = np.linalg.norm(pts[ok] - eye, axis=1)
+        keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        xs, ys, dist = xs[keep], ys[keep], dist[keep]
+        vis = dist <= scene_dist[ys, xs] * 1.001 + 1e-3
+        image[ys[vis], xs[vis], : len(color)] = color

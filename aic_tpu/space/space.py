@@ -66,6 +66,11 @@ class Space:
         self.light_dirty = np.zeros(bounds.size, np.uint8)
         self.behaviors: list = []
         self.spawn_position: Optional[tuple] = None
+        #: Spawn eye/look (spawn.rs set_eye_position/set_look_direction):
+        #: when set, StandardCameras places the character camera exactly
+        #: here rather than deriving an eye from the body.
+        self.spawn_eye_position: Optional[tuple] = None
+        self.spawn_look_direction: Optional[tuple] = None
         self.epoch = 0  # bumped on palette/table changes
         #: Edit journal — the `listen`/SpaceChange analog for incremental
         #: consumers (ChunkedSpaceMesh): relative cubes edited since last

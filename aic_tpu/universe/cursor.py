@@ -27,9 +27,17 @@ class Cursor:
     """cursor.rs:109: the cube the player is pointing at."""
 
     cube: tuple[int, int, int]
-    face: int  # face of `cube` that was hit (entry face)
+    face: int  # face of `cube` that was hit (entry face, face_entered)
     t_distance: float
     block: Block
+    #: World point where the ray entered the cube (cursor.rs point_entered);
+    #: None for cursors produced by legacy callers.
+    point_entered: Optional[np.ndarray] = None
+    #: Distance from the ray origin to point_entered (== t_distance when
+    #: the direction was normalized).
+    distance_to_point: float = 0.0
+    #: The evaluated block at the hit cube (for voxels_bounds etc.).
+    evaluated: object = None
 
     @property
     def preceding_cube(self) -> tuple[int, int, int]:
@@ -52,11 +60,15 @@ def cursor_raycast(space, origin, direction, max_distance: float = 10.0) -> Opti
     for step in raycast.raycast(origin, direction, bounds=space.bounds, t_max=max_distance):
         ev = space.evaluated_block_at(step.cube)
         if ev.visible and ev.attributes.selectable:
+            point = np.asarray(origin, np.float64) + direction * step.t_distance
             return Cursor(
                 cube=step.cube,
                 face=step.face,
                 t_distance=step.t_distance,
                 block=space.block_at(step.cube),
+                point_entered=point,
+                distance_to_point=float(step.t_distance),
+                evaluated=ev,
             )
     return None
 
