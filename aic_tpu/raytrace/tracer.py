@@ -59,6 +59,13 @@ HIT_NONE = 0
 HIT_ATOM = 1
 HIT_VOXEL = 2
 
+#: The hit-buffer fields a phase shader consumes (shared between the XLA
+#: tracer below and the Pallas tracer in pallas_trace.py).
+HIT_KEYS = (
+    "hit_kind", "hit_idx", "hit_vflat", "hit_face",
+    "hit_t", "hit_next_t", "hit_cube",
+)
+
 
 def _argmin_axis(tmax):
     """DDA axis choice with the reference's tie-break (raycast.rs:584):
@@ -321,6 +328,143 @@ def _flat_light(state: SpaceState, cube, face):
     return rgbw[..., :3]
 
 
+def ray_entry_setup(o, d, size_i, size_f):
+    """DDA register init shared by the XLA and Pallas tracers: bounds slab
+    test + entry one virtual cube early (`within` semantics, raycast.rs:223).
+
+    o, d: f32[n, 3] space-local origins/directions. Returns a dict of
+    per-ray arrays: inv_d, step, step_pos, t_delta_base, d_len, max_abs_d,
+    cube0, tmax0, hits_box, t_enter, t_exit.
+    """
+    d_len = jnp.linalg.norm(d, axis=-1)
+    max_abs_d = jnp.maximum(jnp.abs(d).max(axis=-1), 1e-30)
+    safe_d = jnp.where(d == 0.0, 1e-30, d)
+    inv_d = 1.0 / safe_d
+    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+    step_pos = (step > 0).astype(jnp.int32)
+    t_delta_base = jnp.abs(inv_d)
+
+    t0 = (0.0 - o) * inv_d
+    t1 = (size_f - o) * inv_d
+    t_lo = jnp.minimum(t0, t1)
+    t_hi = jnp.maximum(t0, t1)
+    in_slab = (o >= 0.0) & (o <= size_f)
+    t_lo = jnp.where(d == 0.0, jnp.where(in_slab, -_INF, _INF), t_lo)
+    t_hi = jnp.where(d == 0.0, jnp.where(in_slab, _INF, -_INF), t_hi)
+    t_enter = jnp.maximum(t_lo.max(axis=-1), 0.0)
+    t_exit = t_hi.min(axis=-1)
+    hits_box = t_exit > t_enter
+
+    started_inside = t_lo.max(axis=-1) <= 0.0
+    p_start = o + d * (t_enter[..., None] + 1e-5)
+    cube0 = jnp.clip(jnp.floor(p_start).astype(jnp.int32), 0, size_i - 1)
+    boundary = cube0 + step_pos
+    tmax0 = (jnp.asarray(boundary, jnp.float32) - o) * inv_d
+    tmax0 = jnp.where(step == 0, _INF, tmax0)
+    # Rays entering from outside start one virtual cube early so the first
+    # iteration performs the entry crossing and shades the boundary cube.
+    entry_axis = jnp.argmax(t_lo, axis=-1)
+    entry_onehot = jax.nn.one_hot(entry_axis, 3, dtype=jnp.int32)
+    cube_pre = cube0 - entry_onehot * step
+    tmax_pre = jnp.where(entry_onehot == 1, t_enter[..., None], tmax0)
+    cube0 = jnp.where(started_inside[..., None], cube0, cube_pre)
+    tmax0 = jnp.where(started_inside[..., None], tmax0, tmax_pre)
+    return dict(
+        inv_d=inv_d, step=step, step_pos=step_pos,
+        t_delta_base=t_delta_base, d_len=d_len, max_abs_d=max_abs_d,
+        cube0=cube0, tmax0=tmax0, hits_box=hits_box,
+        t_enter=t_enter, t_exit=t_exit,
+    )
+
+
+def make_phase_shader(state: SpaceState, options, o, d, d_len, t_to_view, sky_rgb):
+    """Build the per-phase hit-buffer shader (Surface::to_light,
+    surface.rs:73-200 + fog + front-to-back compositing) shared by
+    trace_rays and trace_rays_pallas.
+
+    Returns shade(hits, light_acc, trans_acc, phase_illum=None) →
+    (light_acc', trans_acc'), where `hits` carries the HIT_KEYS fields.
+    """
+    n_rays = o.shape[0]
+    tables = state.tables
+    palette_rows = tables.palette_rows  # f32[P,8]
+    vox_rows = tables.vox_rows.reshape(-1, 8)  # f32[V*R³,8]
+    n_space = int(np.prod(state.contents.shape))
+
+    fog_on = options.fog != "none"
+    fog_blend = jnp.float32(options.fog_blend())
+    lighting = options.lighting_display
+    if not state.light_enabled:
+        # LightPhysics::None → unit illumination (updater.rs:580 get()).
+        lighting = LIGHT_NONE
+    transparency = options.transparency
+
+    use_interp_rows = (
+        lighting in (LIGHT_LINEAR, LIGHT_SMOOTHSTEP, LIGHT_COARSE)
+        and n_space <= _INTERP_ROWS_MAX_VOLUME
+    )
+    interp_rows = _build_interp_rows(state) if use_interp_rows else None
+
+    def shade(hits, light_acc, trans_acc, phase_illum=None):
+        """Shade all buffered hits (one gather-heavy pass per phase)."""
+        has_hit = hits["hit_kind"] != HIT_NONE
+        atom_row = jnp.take(palette_rows, hits["hit_idx"], axis=0)
+        vox_row = jnp.take(vox_rows, hits["hit_vflat"], axis=0)
+        mat = jnp.where((hits["hit_kind"] == HIT_VOXEL)[..., None], vox_row, atom_row)
+        rgba = mat[..., 0:4]
+        emission = mat[..., 4:7]
+
+        alpha = jnp.clip(rgba[..., 3], 0.0, 1.0)
+        point = o + d * hits["hit_t"][..., None]
+        if transparency == TRANSPARENCY_THRESHOLD:
+            alpha = jnp.where(alpha > options.transparency_threshold, 1.0, 0.0)
+            emission_scaled = emission
+        elif transparency == TRANSPARENCY_VOLUMETRIC:
+            thickness = (hits["hit_next_t"] - hits["hit_t"]) * d_len
+            alpha, coeff = _apply_transmittance_jax(alpha, thickness)
+            emission_scaled = emission * coeff[..., None]
+        else:
+            emission_scaled = emission
+
+        shade_m = has_hit & ((alpha > 0.0) | (emission_scaled != 0.0).any(-1))
+
+        if lighting == LIGHT_NONE:
+            illum = jnp.ones((n_rays, 3), jnp.float32)
+        elif lighting in (LIGHT_FLAT, LIGHT_BOUNCE):
+            # Bounce past its budget shades Flat (surface.rs:173-177).
+            illum = _flat_light(state, hits["hit_cube"], hits["hit_face"])
+        elif use_interp_rows:
+            illum = _interpolated_light_rows(
+                state, interp_rows, hits["hit_cube"], point, hits["hit_face"],
+                lighting,
+            )
+        else:
+            illum = _interpolated_light(
+                state, hits["hit_cube"], point, hits["hit_face"], lighting
+            )
+        if phase_illum is not None:
+            illum = phase_illum
+
+        out_rgb = rgba[..., :3] * illum * alpha[..., None] + emission_scaled
+        surf_trans = 1.0 - alpha
+        if fog_on:
+            rel = jnp.clip(hits["hit_t"] * t_to_view, 0.0, 1.0)
+            fog_exp = (1.0 - jnp.exp(-1.6 * rel)) / 0.79810348
+            fog_amount = fog_exp * (1.0 - fog_blend) + rel**4 * fog_blend
+            out_rgb = (
+                out_rgb * (1.0 - fog_amount[..., None]) + sky_rgb * fog_amount[..., None]
+            )
+            surf_trans = surf_trans * (1.0 - fog_amount)
+
+        light_acc2 = light_acc + jnp.where(
+            shade_m[..., None], out_rgb * trans_acc[..., None], 0.0
+        )
+        trans_acc2 = jnp.where(shade_m, trans_acc * surf_trans, trans_acc)
+        return light_acc2, trans_acc2
+
+    return shade
+
+
 def _apply_transmittance_jax(alpha, thickness):
     """raytracer_components.rs:215, vectorized. Returns (alpha', coeff)."""
     thickness = jnp.maximum(thickness, 0.0)
@@ -386,43 +530,14 @@ def trace_rays(
     if max_steps is None:
         max_steps = int(2 * (sum(state.contents.shape) + 8 * max_r))
 
-    d_len = jnp.linalg.norm(d, axis=-1)
+    entry = ray_entry_setup(o, d, size_i, size_f)
+    d_len = entry["d_len"]
+    max_abs_d = entry["max_abs_d"]
+    inv_d, step, step_pos = entry["inv_d"], entry["step"], entry["step_pos"]
+    t_delta_base = entry["t_delta_base"]
+    cube0, tmax0 = entry["cube0"], entry["tmax0"]
+    hits_box, t_enter, t_exit = entry["hits_box"], entry["t_enter"], entry["t_exit"]
     t_to_view = (d_len / jnp.float32(options.view_distance)).astype(jnp.float32)
-    max_abs_d = jnp.maximum(jnp.abs(d).max(axis=-1), 1e-30)
-
-    safe_d = jnp.where(d == 0.0, 1e-30, d)
-    inv_d = 1.0 / safe_d
-    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
-    step_pos = (step > 0).astype(jnp.int32)
-    t_delta_base = jnp.abs(inv_d)
-
-    # ---- bounds slab test + entry setup -----------------------------------
-    t0 = (0.0 - o) * inv_d
-    t1 = (size_f - o) * inv_d
-    t_lo = jnp.minimum(t0, t1)
-    t_hi = jnp.maximum(t0, t1)
-    in_slab = (o >= 0.0) & (o <= size_f)
-    t_lo = jnp.where(d == 0.0, jnp.where(in_slab, -_INF, _INF), t_lo)
-    t_hi = jnp.where(d == 0.0, jnp.where(in_slab, _INF, -_INF), t_hi)
-    t_enter = jnp.maximum(t_lo.max(axis=-1), 0.0)
-    t_exit = t_hi.min(axis=-1)
-    hits_box = t_exit > t_enter
-
-    started_inside = t_lo.max(axis=-1) <= 0.0
-    p_start = o + d * (t_enter[..., None] + 1e-5)
-    cube0 = jnp.clip(jnp.floor(p_start).astype(jnp.int32), 0, size_i - 1)
-    boundary = cube0 + step_pos
-    tmax0 = (jnp.asarray(boundary, jnp.float32) - o) * inv_d
-    tmax0 = jnp.where(step == 0, _INF, tmax0)
-    # Rays entering from outside start one virtual cube early so the first
-    # iteration performs the entry crossing and shades the boundary cube
-    # (`within` semantics, raycast.rs:223).
-    entry_axis = jnp.argmax(t_lo, axis=-1)
-    entry_onehot = jax.nn.one_hot(entry_axis, 3, dtype=jnp.int32)
-    cube_pre = cube0 - entry_onehot * step
-    tmax_pre = jnp.where(entry_onehot == 1, t_enter[..., None], tmax0)
-    cube0 = jnp.where(started_inside[..., None], cube0, cube_pre)
-    tmax0 = jnp.where(started_inside[..., None], tmax0, tmax_pre)
 
     sky_rgb = _sky_sample(state, d)
 
@@ -566,14 +681,6 @@ def trace_rays(
         hits_box = hits_box & ~(beyond & (t_eff >= t_exit))
 
     tables = state.tables
-
-    fog_on = options.fog != "none"
-    fog_blend = jnp.float32(options.fog_blend())
-    lighting = options.lighting_display
-    if not state.light_enabled:
-        # LightPhysics::None → unit illumination (updater.rs:580 get()).
-        lighting = LIGHT_NONE
-    transparency = options.transparency
 
     zero3i = jnp.zeros((n_rays, 3), jnp.int32)
     zero3f = jnp.zeros((n_rays, 3), jnp.float32)
@@ -874,70 +981,12 @@ def trace_rays(
     light_acc = jnp.zeros((n_rays, 3), jnp.float32)
     trans_acc = jnp.ones(n_rays, jnp.float32)
 
-    palette_rows = tables.palette_rows  # f32[P,8]
-    vox_rows = tables.vox_rows.reshape(-1, 8)  # f32[V*R³,8]
-
-    use_interp_rows = (
-        lighting in (LIGHT_LINEAR, LIGHT_SMOOTHSTEP, LIGHT_COARSE)
-        and n_space <= _INTERP_ROWS_MAX_VOLUME
-    )
-    interp_rows = _build_interp_rows(state) if use_interp_rows else None
+    shade_fn = make_phase_shader(state, options, o, d, d_len, t_to_view, sky_rgb)
 
     def shade_phase(st, light_acc, trans_acc, phase_illum=None):
-        """Shade all buffered hits (one gather-heavy pass per phase)."""
-        has_hit = st["hit_kind"] != HIT_NONE
-        atom_row = jnp.take(palette_rows, st["hit_idx"], axis=0)
-        vox_row = jnp.take(vox_rows, st["hit_vflat"], axis=0)
-        mat = jnp.where((st["hit_kind"] == HIT_VOXEL)[..., None], vox_row, atom_row)
-        rgba = mat[..., 0:4]
-        emission = mat[..., 4:7]
-
-        alpha = jnp.clip(rgba[..., 3], 0.0, 1.0)
-        point = o + d * st["hit_t"][..., None]
-        if transparency == TRANSPARENCY_THRESHOLD:
-            alpha = jnp.where(alpha > options.transparency_threshold, 1.0, 0.0)
-            emission_scaled = emission
-        elif transparency == TRANSPARENCY_VOLUMETRIC:
-            thickness = (st["hit_next_t"] - st["hit_t"]) * d_len
-            alpha, coeff = _apply_transmittance_jax(alpha, thickness)
-            emission_scaled = emission * coeff[..., None]
-        else:
-            emission_scaled = emission
-
-        shade = has_hit & ((alpha > 0.0) | (emission_scaled != 0.0).any(-1))
-
-        if lighting == LIGHT_NONE:
-            illum = jnp.ones((n_rays, 3), jnp.float32)
-        elif lighting in (LIGHT_FLAT, LIGHT_BOUNCE):
-            # Bounce past its budget shades Flat (surface.rs:173-177).
-            illum = _flat_light(state, st["hit_cube"], st["hit_face"])
-        elif use_interp_rows:
-            illum = _interpolated_light_rows(
-                state, interp_rows, st["hit_cube"], point, st["hit_face"], lighting
-            )
-        else:
-            illum = _interpolated_light(
-                state, st["hit_cube"], point, st["hit_face"], lighting
-            )
-        if phase_illum is not None:
-            illum = phase_illum
-
-        out_rgb = rgba[..., :3] * illum * alpha[..., None] + emission_scaled
-        surf_trans = 1.0 - alpha
-        if fog_on:
-            rel = jnp.clip(st["hit_t"] * t_to_view, 0.0, 1.0)
-            fog_exp = (1.0 - jnp.exp(-1.6 * rel)) / 0.79810348
-            fog_amount = fog_exp * (1.0 - fog_blend) + rel**4 * fog_blend
-            out_rgb = (
-                out_rgb * (1.0 - fog_amount[..., None]) + sky_rgb * fog_amount[..., None]
-            )
-            surf_trans = surf_trans * (1.0 - fog_amount)
-
-        light_acc2 = light_acc + jnp.where(
-            shade[..., None], out_rgb * trans_acc[..., None], 0.0
+        return shade_fn(
+            {k: st[k] for k in HIT_KEYS}, light_acc, trans_acc, phase_illum
         )
-        trans_acc2 = jnp.where(shade, trans_acc * surf_trans, trans_acc)
-        return light_acc2, trans_acc2
 
     st = init
     walkers = []

@@ -162,6 +162,23 @@ def run_suite(smoke: bool = False):
     dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=2 if smoke else 5)
     mrays = w * h / dt / 1e6
     extra["atrium_frame_ms"] = round(dt * 1e3, 1)
+
+    # --- Pallas region-synchronous tracer (PERF.md roadmap item 2) -------
+    # Compiled-mode attempt; Mosaic rejections or unsupported shapes are
+    # recorded, not fatal (the kernel is interpret-mode-verified either way
+    # — tests/test_pallas_trace.py).
+    if not smoke:
+        try:
+            from aic_tpu.raytrace.pallas_trace import trace_rays_pallas
+
+            dt_p = _time(lambda: trace_rays_pallas(state, o, d, opts)[0], n=5)
+            extra["atrium_pallas_mrays"] = round(w * h / dt_p / 1e6, 3)
+            extra["atrium_pallas_frame_ms"] = round(dt_p * 1e3, 1)
+            if dt_p < dt:
+                mrays = w * h / dt_p / 1e6
+                extra["atrium_tracer"] = "pallas"
+        except Exception as e:
+            extra["pallas_tracer_error"] = f"{type(e).__name__}: {e}"
     return mrays, extra
 
 
