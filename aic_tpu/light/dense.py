@@ -207,7 +207,16 @@ def _padded_light(state: SpaceState, pad):
     return lp
 
 
-def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
+def _run_pairs(
+    ctx: RelightCtx,
+    size,
+    light_pad,
+    cosines,
+    sky_ray_table,
+    xs,
+    origin=None,
+    full_size=None,
+):
     """Scan the given (ray, step) pair list; returns (incoming, total_w)
     accumulated over exactly those rays. Additive across disjoint ray
     subsets — the sharded pass psums these across devices, and the
@@ -217,16 +226,26 @@ def _run_pairs(ctx: RelightCtx, size, light_pad, cosines, sky_ray_table, xs):
     vmapped over L: one scan iteration advances L rays at once, so the
     per-iteration op-dispatch overhead (the measured 35 µs floor on small
     volumes, PERF.md) is amortized L-fold and the dynamic slices become
-    batched window gathers."""
+    batched window gathers.
+
+    `origin`/`full_size`: when the computed volume is a slab of a larger
+    space (parallel/slab.py), `origin` (traced i32[3]) is the slab's
+    offset inside the `full_size` (static) global volume; the
+    inside-bounds mask then tests *global* coordinates while all window
+    slices stay local to the slab (+halo) arrays."""
     pad = ctx.pad
     normals = jnp.asarray(faces.FACE_NORMALS, jnp.int32)
     pad_v = jnp.asarray(pad, jnp.int32)
-    size_v = jnp.asarray(size, jnp.int32)
+    size_v = jnp.asarray(full_size if full_size is not None else size, jnp.int32)
 
-    # Coordinate grids for the arithmetic inside-mask.
+    # Coordinate grids (global coords) for the arithmetic inside-mask.
     gx = jax.lax.broadcasted_iota(jnp.int32, size, 0)
     gy = jax.lax.broadcasted_iota(jnp.int32, size, 1)
     gz = jax.lax.broadcasted_iota(jnp.int32, size, 2)
+    if origin is not None:
+        gx = gx + origin[0]
+        gy = gy + origin[1]
+        gz = gz + origin[2]
 
     zero_v = jnp.zeros(size, jnp.float32)
 
