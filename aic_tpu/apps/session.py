@@ -331,6 +331,12 @@ class Session:
         from ..vui import build_hud, pause_page, ui_camera
 
         self.inventory = inventory if inventory is not None else free_editing_inventory()
+        # The toolbar and the character's click dispatch must share one
+        # inventory (the reference's HudInputs reads the character's
+        # inventory; character.rs:307 clicks use it) — otherwise slot
+        # selection in the UI wouldn't change what a click does.
+        if self.character is not None:
+            self.character.inventory_obj = self.inventory
         self.ui_space, self.ui_widgets = build_hud(self.inventory)
         self.ui_state = self.ui_space.snapshot()
         self.ui_camera = ui_camera(self.ui_space, self.camera.viewport)

@@ -72,7 +72,7 @@ def main(argv=None):
     p.add_argument(
         "--graphics",
         default="print",
-        choices=["print", "record", "headless", "terminal", "serve"],
+        choices=["print", "record", "headless", "terminal", "window", "serve"],
     )
     p.add_argument("--port", type=int, default=8080, help="serve mode port")
     p.add_argument("--size", type=int, default=None, help="template size")
@@ -208,6 +208,12 @@ def main(argv=None):
         srv = SessionServer(session, port=args.port)
         print(f"serving on http://127.0.0.1:{srv.port}/", file=sys.stderr)
         srv.serve_forever()
+    elif args.graphics == "window":
+        from .apps.window import run_window_session
+
+        run_window_session(
+            space, state, width=args.width, height=args.height, options=options
+        )
     elif args.graphics == "terminal":
         if not sys.stdin.isatty():
             # One-shot fallback (terminal.rs -print behavior) for pipes.
