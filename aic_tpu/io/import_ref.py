@@ -21,8 +21,11 @@ reference hard-fails instead; we prefer partial import for inspection).
 from __future__ import annotations
 
 import base64
+import binascii
 import gzip
 import json
+import struct
+import zlib
 
 import numpy as np
 
@@ -171,6 +174,12 @@ class _Importer:
         if d.get("type") != "SpaceV1":
             raise ValueError(f"unsupported space schema {d.get('type')!r}")
         bounds = GridAab.from_lower_upper(d["bounds"]["lower"], d["bounds"]["upper"])
+        if bounds.volume() > _IMPORT_MAX_VOLUME:
+            # Bounds are attacker-controlled allocation sizes in an
+            # untrusted save (fuzz_import.rs contract).
+            raise ValueError(
+                f"space {name!r} volume {bounds.volume()} exceeds import cap"
+            )
         phys = d["physics"]
         sky_d = phys["sky"]
         if sky_d["type"] == "UniformV1":
@@ -444,12 +453,50 @@ class _Importer:
         return None
 
 
+#: Exceptions the schema walk can hit on malformed-but-well-formed-JSON
+#: input; converted to ValueError so callers see one typed error
+#: (port/src/import.rs returns ImportError for every malformed input).
+_MALFORMED = (
+    KeyError,
+    TypeError,
+    IndexError,
+    AttributeError,
+    OverflowError,
+    UnicodeDecodeError,
+    binascii.Error,
+    gzip.BadGzipFile,
+    zlib.error,
+    struct.error,
+)
+
+#: Volume cap for imported spaces: a save is untrusted input, and bounds
+#: are attacker-controlled allocation sizes (fuzz_import.rs contract).
+_IMPORT_MAX_VOLUME = 1 << 28
+
+
 def load_alliscubesjson(path: str):
-    """Import a `.alliscubesjson` save. Returns (Universe, warnings)."""
-    with open(path) as f:
-        doc = json.load(f)
-    imp = _Importer(doc)
-    u = imp.run()
+    """Import a `.alliscubesjson` save. Returns (Universe, warnings).
+
+    Malformed input of any shape raises ValueError — never a raw
+    KeyError/struct.error/RecursionError (the reference importer returns
+    a typed ImportError for arbitrary bytes, fuzz_import.rs)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        doc = json.loads(raw)
+    except RecursionError:
+        raise ValueError("malformed save: JSON nesting too deep") from None
+    except UnicodeDecodeError as e:
+        raise ValueError(f"malformed save: not UTF-8 ({e})") from None
+    try:
+        imp = _Importer(doc)
+        u = imp.run()
+    except ValueError:
+        raise
+    except RecursionError:
+        raise ValueError("malformed save: unbounded recursion in members") from None
+    except _MALFORMED as e:
+        raise ValueError(f"malformed save: {type(e).__name__}: {e}") from None
     return u, imp.warnings
 
 

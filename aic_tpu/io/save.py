@@ -208,10 +208,21 @@ def _space_shell(d: dict) -> Space:
 def _space_fill(sp: Space, d: dict, spaces: dict, defs: dict | None = None) -> Space:
     """Phase 2: deserialize palette/contents/light into the shell."""
     palette_blocks = [block_from_schema(b, spaces, defs) for b in d["palette"]]
-    # Intern palette in order so stored indices are preserved.
-    for b in palette_blocks:
-        sp.ensure_block(b)
-    sp.contents = _unpack_array(d["contents"], "<u2", sp.bounds.size)
+    # Intern palette and REMAP stored indices: ensure_block dedups equal
+    # blocks and recycles free slots, so the interned index need not
+    # equal the saved position (two saved entries that deserialize equal
+    # collapse to one slot — without the remap, contents would carry
+    # dangling indices past the palette).
+    remap = np.zeros(max(len(palette_blocks), 1), np.uint16)
+    for i, b in enumerate(palette_blocks):
+        remap[i] = sp.ensure_block(b)
+    raw = _unpack_array(d["contents"], "<u2", sp.bounds.size)
+    if raw.size and int(raw.max()) >= len(palette_blocks):
+        raise ValueError(
+            f"save contents index {int(raw.max())} out of palette range "
+            f"{len(palette_blocks)}"
+        )
+    sp.contents = remap[raw]
     sp.light = _unpack_array(d["light"], np.uint8, tuple(sp.bounds.size) + (4,))
     if d.get("spawn"):
         sp.spawn_position = np.asarray(d["spawn"])

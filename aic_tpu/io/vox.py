@@ -39,13 +39,26 @@ def _default_palette() -> np.ndarray:
 
 
 def _read_chunks(data: bytes, offset: int, end: int):
+    """Iterate chunks, validating lengths: a .vox file is untrusted input
+    (fuzz_import.rs contract), so negative or out-of-range chunk lengths
+    must raise ValueError, not loop forever or index garbage."""
     while offset < end:
-        cid = data[offset : offset + 4].decode("ascii")
+        if offset + 12 > len(data):
+            raise ValueError("VOX: truncated chunk header")
+        try:
+            cid = data[offset : offset + 4].decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError("VOX: non-ASCII chunk id") from None
         content_len, children_len = struct.unpack_from("<ii", data, offset + 4)
-        content = data[offset + 12 : offset + 12 + content_len]
+        if content_len < 0 or children_len < 0:
+            raise ValueError("VOX: negative chunk length")
         child_start = offset + 12 + content_len
-        yield cid, content, child_start, child_start + children_len
-        offset = child_start + children_len
+        chunk_end = child_start + children_len
+        if chunk_end > len(data):
+            raise ValueError("VOX: chunk overruns file")
+        content = data[offset + 12 : child_start]
+        yield cid, content, child_start, chunk_end
+        offset = chunk_end
 
 
 def import_vox(path: str) -> list[Space]:
@@ -59,20 +72,35 @@ def import_vox(path: str) -> list[Space]:
     voxel_sets = []
     palette = _default_palette()
 
-    def walk(offset, end):
+    _MAX_DIM = 2048  # > MagicaVoxel's own 256 model limit, still sane
+
+    def walk(offset, end, depth=0):
         nonlocal palette
+        if depth > 8:
+            raise ValueError("VOX: chunk nesting too deep")
         for cid, content, cs, ce in _read_chunks(data, offset, end):
             if cid == "SIZE":
-                sizes.append(struct.unpack("<iii", content[:12]))
+                if len(content) < 12:
+                    raise ValueError("VOX: short SIZE chunk")
+                dims = struct.unpack("<iii", content[:12])
+                if any(d < 0 or d > _MAX_DIM for d in dims):
+                    raise ValueError(f"VOX: unreasonable model size {dims}")
+                sizes.append(dims)
             elif cid == "XYZI":
+                if len(content) < 4:
+                    raise ValueError("VOX: short XYZI chunk")
                 (n,) = struct.unpack_from("<i", content, 0)
+                if n < 0 or 4 + 4 * n > len(content):
+                    raise ValueError(f"VOX: XYZI claims {n} voxels beyond chunk")
                 vox = np.frombuffer(content[4 : 4 + 4 * n], np.uint8).reshape(n, 4)
                 voxel_sets.append(vox)
             elif cid == "RGBA":
+                if len(content) < 1024:
+                    raise ValueError("VOX: short RGBA chunk")
                 pal = np.frombuffer(content[:1024], np.uint8).reshape(256, 4)
                 # VOX palette is 1-indexed: color i applies to index i+1.
                 palette = np.concatenate([[(0, 0, 0, 0)], pal[:255]]).astype(np.uint8)
-            walk(cs, ce)
+            walk(cs, ce, depth + 1)
 
     # MAIN chunk
     for cid, content, cs, ce in _read_chunks(data, 8, len(data)):
@@ -81,10 +109,16 @@ def import_vox(path: str) -> list[Space]:
 
     spaces = []
     for (sx, sy, sz), vox in zip(sizes, voxel_sets):
+        if sx * sy * sz > 1 << 26:
+            raise ValueError(f"VOX: model volume {sx*sy*sz} exceeds import cap")
         # VOX (x, y, z) Z-up → ours (x, z_mirrored, y) Y-up.
         sp = Space(GridAab.from_lower_size((0, 0, 0), (sx, sz, sy)))
         blocks = {}
         for x, y, z, ci in vox:
+            if x >= sx or y >= sy or z >= sz:
+                raise ValueError(
+                    f"VOX: voxel ({x},{y},{z}) outside model size ({sx},{sy},{sz})"
+                )
             rgba = palette[ci]
             if ci not in blocks:
                 lin = np_srgb8_to_linear(rgba[:3])

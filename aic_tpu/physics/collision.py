@@ -74,7 +74,9 @@ def window_solid_boxes(state: SpaceState, center_cube):
 
     r_pad = t.vox_solid.shape[1]
     ventry = jnp.take(t.voxel_index, pal, axis=0)  # [C]
-    res = jnp.take(t.resolution, pal, axis=0)  # [C]
+    # Collision granularity (min(resolution, 32)): vox_solid rows are
+    # stored at this capped resolution — see BlockTables.collision_res.
+    res = jnp.take(t.collision_res, pal, axis=0)  # [C]
     solid = jnp.take(
         t.vox_solid.reshape(n_vox_entries, -1), jnp.maximum(ventry, 0), axis=0
     )  # [C, R³]

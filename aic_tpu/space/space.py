@@ -26,6 +26,9 @@ from ..math.grid import GridAab
 from .sky import Sky
 from .state import BlockTables, SpaceState
 
+#: Collision solid-mask resolution cap (see BlockTables.collision_res).
+_COLLISION_MAX_RES = 32
+
 #: space.rs:77 `BlockIndex = u16`.
 MAX_PALETTE = 65536
 
@@ -348,7 +351,13 @@ class Space:
         max_r = max([evs[i].resolution for i in vox_entries], default=1)
         v = max(1, len(vox_entries))
         vox_rows = np.zeros((v, max_r, max_r, max_r, 8), np.float32)
-        vox_solid = np.zeros((v, max_r, max_r, max_r), bool)
+        # Collision solids are capped at 1/32-cube granularity: the
+        # physics window sweep is O(125·Rc³) boxes per body segment, so
+        # an uncapped res-128 entry would cost 125·2M boxes (gigabytes).
+        # Finer blocks pool conservatively (solid if ANY fine voxel is).
+        col_max = min(max_r, _COLLISION_MAX_RES)
+        collision_res = np.ones(p, np.int32)
+        vox_solid = np.zeros((v, col_max, col_max, col_max), bool)
         vox_cells = np.zeros((v, max_r, max_r, max_r), np.int32)
 
         for vi, bi in enumerate(vox_entries):
@@ -357,7 +366,13 @@ class Space:
             voxel_index[bi] = vi
             vox_rows[vi, :r, :r, :r, 0:4] = ev.voxels.color
             vox_rows[vi, :r, :r, :r, 4:7] = ev.voxels.emission
-            vox_solid[vi, :r, :r, :r] = ev.voxels.collision > 0
+            solid = ev.voxels.collision > 0
+            cr = min(r, _COLLISION_MAX_RES)
+            if r > cr:
+                f = r // cr  # resolutions are powers of two (res_log2)
+                solid = solid.reshape(cr, f, cr, f, cr, f).any(axis=(1, 3, 5))
+            collision_res[bi] = cr
+            vox_solid[vi, :cr, :cr, :cr] = solid
             vvis = (ev.voxels.color[..., 3] > 0) | (ev.voxels.emission != 0).any(-1)
             vskip = accel.np_skip_distance_field(vvis)
             vox_cells[vi, :r, :r, :r] = (
@@ -408,6 +423,7 @@ class Space:
             face_colors=jnp.asarray(face_colors),
             light_emission=jnp.asarray(light_emission),
             collision_uniform=jnp.asarray(collision_uniform),
+            collision_res=jnp.asarray(collision_res),
             voxel_index=jnp.asarray(voxel_index),
             res_log2=jnp.asarray(res_log2),
             light_face_rows=jnp.asarray(light_face_rows),

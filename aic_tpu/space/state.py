@@ -45,6 +45,14 @@ class BlockTables:
     face_colors: jax.Array  # f32[P,7,4] faces 0..5 + mean color at 6
     light_emission: jax.Array  # f32[P,3]
     collision_uniform: jax.Array  # i32[P]: -1 non-uniform, else class
+    #: Resolution of the entry's row in `vox_solid` = min(resolution, 32).
+    #: Collision geometry is quantized to 1/32-cube boxes for finer
+    #: blocks (conservative any-solid pooling): the flattened window
+    #: sweep materializes 125·R³ candidate boxes, so R must stay bounded
+    #: (the reference recurses per-ray instead, collision.rs:305-333,
+    #: and pays no such cost — this is the documented precision tradeoff
+    #: of the vectorized design).
+    collision_res: jax.Array  # i32[P]
     voxel_index: jax.Array  # i32[P]: -1 = atom, else row in vox_* tables
     res_log2: jax.Array  # i32[P] log2(resolution) (for cell packing)
     #: Light-walk rows [P*6, 8]: per (block, entered-face) everything one
@@ -55,7 +63,9 @@ class BlockTables:
     # cost the same as single elements on TPU — see raytrace/accel.py):
     palette_rows: jax.Array  # f32[P,8]: atom rgba, emission rgb, spare
     vox_rows: jax.Array  # f32[V,R,R,R,8]: voxel rgba, emission rgb, spare
-    vox_solid: jax.Array  # bool[V,R,R,R] collision==HARD (physics)
+    #: bool[V,Rc,Rc,Rc] collision==HARD (physics), Rc = min(R, 32) — see
+    #: `collision_res`.
+    vox_solid: jax.Array
 
     @property
     def padded_palette_size(self) -> int:

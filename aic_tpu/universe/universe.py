@@ -337,7 +337,8 @@ class Universe:
         if any_stale:
             for name, sp in self.spaces.items():
                 sp.reevaluate_palette()
-                self.resnapshot(name)
+                if name in self.states:  # stateless recur content spaces
+                    self.resnapshot(name)
 
         # Step: tick actions (space/step.rs:114).
         with prof.span("tick_actions"):
@@ -377,16 +378,23 @@ class Universe:
             if self.bodies is not None and self.body_space:
                 # All bodies collide against the first space they belong
                 # to (per-space batching arrives with multi-space worlds).
-                name = self.body_space[0]
-                state = self.states[name]
-                gravity = self.spaces[name].physics.gravity
-                self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
+                # A body's space may have been deleted — handles dangle
+                # rather than block deletion (universe.rs delete + the
+                # error_space_gone renderer contract); such bodies are
+                # frozen by skipping physics when no host space remains.
+                name = next((n for n in self.body_space if n in self.states), None)
+                if name is not None:
+                    state = self.states[name]
+                    gravity = self.spaces[name].physics.gravity
+                    self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
 
         # Light updates (space/step.rs:338): fixed rounds per tick.
         with prof.span("light"):
             for name in self.spaces:
-                st = self.states[name]
-                if not st.light_enabled:
+                # Recur content spaces loaded from saves carry no device
+                # state (io/save.py load_universe) — nothing to relight.
+                st = self.states.get(name)
+                if st is None or not st.light_enabled:
                     continue
                 for _ in range(self.light_rounds_per_tick):
                     st, stats = light_update_round(st, batch_size=self.light_batch_size)

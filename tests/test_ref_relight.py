@@ -6,6 +6,8 @@ same procedure (light/refproc.py) on a small scene."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # refproc convergence is minutes on CPU
+
 from aic_tpu.content import cornell_box
 from aic_tpu.light.refproc import evaluate_light_reference
 from aic_tpu.math import lightpack
