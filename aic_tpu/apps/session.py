@@ -196,6 +196,11 @@ class Session:
                 f"tick {info.tick} | edits {info.space_edits} | "
                 f"lightq {info.light_queue} | {info.wall_time_s*1000:.1f}ms"
             )
+        if steps and getattr(self, "hud", None) is not None:
+            # HUD widget controllers ride the step cadence (vui_manager
+            # steps controllers every frame) — cheap no-op when nothing
+            # changed, per-cell transaction when something did.
+            self.refresh_ui()
         return steps
 
     def _adapt_exposure(self, light):
@@ -328,7 +333,9 @@ class Session:
     def enable_ui(self, inventory=None):
         """Attach the voxel-UI HUD layer (vui_manager.rs HudLayout)."""
         from ..universe.cursor import free_editing_inventory
-        from ..vui import build_hud, pause_page, ui_camera
+        from ..vui import pause_page, ui_camera
+
+        from ..vui.controller import HudController
 
         self.inventory = inventory if inventory is not None else free_editing_inventory()
         # The toolbar and the character's click dispatch must share one
@@ -337,43 +344,28 @@ class Session:
         # selection in the UI wouldn't change what a click does.
         if self.character is not None:
             self.character.inventory_obj = self.inventory
-        self.ui_space, self.ui_widgets = build_hud(self.inventory)
-        self.ui_state = self.ui_space.snapshot()
+        # HudController owns the UI space + device state and one
+        # WidgetController per dynamic widget (vui_manager.rs); updates
+        # are per-changed-cell transactions, not full redraw/re-snapshot.
+        self.hud = HudController(self.inventory, self.notifications)
+        self.ui_space = self.hud.space
+        self.ui_widgets = self.hud.widgets
         self.ui_camera = ui_camera(self.ui_space, self.camera.viewport)
         self._pause_space = pause_page()
         self._pause_state = self._pause_space.snapshot()
         self._pause_camera = ui_camera(self._pause_space, self.camera.viewport)
 
+    @property
+    def ui_state(self):
+        """UI-layer device state — owned by the HudController so that
+        per-cell transaction commits are visible immediately."""
+        hud = getattr(self, "hud", None)
+        return hud.state if hud is not None else None
+
     def refresh_ui(self):
-        """Redraw dynamic widgets (toolbar selection, tooltip) and refresh
-        the UI layer's device state — the analog of the reference's
-        widget-controller transactions on inventory change."""
-        w = self.ui_widgets
-        tx = w["tx"]
-        w["toolbar"].draw(self.ui_space, (tx, 0, 0))
-        w["tooltip"].draw(self.ui_space, (tx, 1, 0))
-        self._draw_notification()
-        self.ui_state = self.ui_space.snapshot()
-
-    def _draw_notification(self):
-        """Draw/clear the primary notification as a progress bar + title
-        near the top of the HUD (the Hub primary content display)."""
-        from .. import block as _block
-        from ..vui.widgets import ProgressBar, text_blocks
-
-        sp = self.ui_space
-        width = sp.bounds.size[0]
-        y = sp.bounds.size[1] - 2
-        for x in range(width):
-            sp.set((x, y, 0), _block.AIR)
-        content = self.notifications.primary()
-        if content is None:
-            return
-        bar = ProgressBar(fraction=content.fraction, width=6)
-        bar.draw(sp, (1, y, 0))
-        label = content.title if not content.part else f"{content.title}: {content.part}"
-        for i, b in enumerate(text_blocks(label)[: width - 9]):
-            sp.set((8 + i, y, 0), b)
+        """Step the widget controllers; commits only the changed cells
+        to the UI device state (widget_trait.rs step() analog)."""
+        self.hud.step(self)
 
     def click(self, x_px: float, y_px: float, button: int = 0):
         """Dispatch a click at viewport pixel coords: UI layer first (the

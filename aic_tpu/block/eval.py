@@ -25,6 +25,10 @@ from ..math.grid import GridAab, ROTATION_MATRICES, rotate_voxel_array
 from . import model
 from .model import AIR, Block, BlockAttributes, COLLISION_HARD, COLLISION_NONE
 
+#: Default attributes: a handle block with exactly these is transparent
+#: to its definition's attributes (see _evaluate_impl Indirect case).
+_DEFAULT_ATTRS = BlockAttributes()
+
 #: Budget in evaluation cost units (components + voxels), mirroring
 #: eval/control.rs's Budget { components, voxels }.
 DEFAULT_BUDGET_VOXELS = 64 * 64 * 128
@@ -256,6 +260,16 @@ def _evaluate_impl(block: Block, budget: _Budget, depth: int) -> EvaluatedBlock:
         raise EvalBudgetExceeded()
     budget.spend_components()
     attributes = block.attributes
+    if isinstance(block.primitive, model.Indirect) and attributes == _DEFAULT_ATTRS:
+        # Indirection is transparent (block_def.rs): a bare handle
+        # carries the definition's evaluated attributes (display_name,
+        # tick/activation actions, animation) — without this, animated
+        # content chained through BlockDefs would lose its tick actions.
+        bd = block.primitive.block_def
+        if not (bd._cache is not None and bd._cache_epoch == bd.epoch):
+            bd._cache = _evaluate_impl(bd.block, budget, depth + 1)
+            bd._cache_epoch = bd.epoch
+        attributes = bd._cache.attributes
     voxels = _evaluate_primitive(block.primitive, budget, depth)
 
     for index, modifier in enumerate(block.modifiers):
@@ -305,24 +319,44 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     space = primitive.space
     out = Evoxels.air(resolution=r)
     lx, ly, lz = primitive.offset
-    for x, y, z in GridAab.cube(r).interior_iter():
-        cube = (lx + x, ly + y, lz + z)
-        if not space.bounds.contains_cube(cube):
-            continue
-        ev = space.evaluated_block_at(cube)
+    # The per-voxel value depends only on the palette index at each
+    # cube, so evaluate one row per palette entry and gather — a Python
+    # loop over R³ cubes would dominate content generation at R32+.
+    lower = np.asarray(space.bounds.lower, np.int64)
+    upper = lower + np.asarray(space.bounds.size, np.int64)
+    lo = np.maximum([lx, ly, lz], lower)
+    hi = np.minimum([lx + r, ly + r, lz + r], upper)
+    if (hi <= lo).any():
+        return out
+    p = space.palette_len()
+    col = np.zeros((p, 4), np.float32)
+    emi = np.zeros((p, 3), np.float32)
+    sel = np.zeros(p, bool)
+    colls = np.zeros(p, np.int8)
+    for i in range(p):
+        ev = space.evaluated(i)
         vox = ev.voxels
         if vox.resolution == 1:
-            out.color[x, y, z] = vox.color[0, 0, 0]
-            out.emission[x, y, z] = vox.emission[0, 0, 0]
-            out.selectable[x, y, z] = vox.selectable[0, 0, 0]
-            out.collision[x, y, z] = vox.collision[0, 0, 0]
+            col[i] = vox.color[0, 0, 0]
+            emi[i] = vox.emission[0, 0, 0]
+            sel[i] = vox.selectable[0, 0, 0]
+            colls[i] = vox.collision[0, 0, 0]
         else:
-            out.color[x, y, z] = ev.color
-            out.emission[x, y, z] = ev.light_emission
-            out.selectable[x, y, z] = ev.attributes.selectable
-            out.collision[x, y, z] = (
-                ev.uniform_collision if ev.uniform_collision is not None else COLLISION_HARD
+            col[i] = ev.color
+            emi[i] = ev.light_emission
+            sel[i] = ev.attributes.selectable
+            colls[i] = (
+                ev.uniform_collision
+                if ev.uniform_collision is not None
+                else COLLISION_HARD
             )
+    src = tuple(slice(int(a - l), int(b - l)) for a, b, l in zip(lo, hi, lower))
+    dst = tuple(slice(int(a - o), int(b - o)) for a, b, o in zip(lo, hi, (lx, ly, lz)))
+    idx = np.asarray(space.contents[src], np.int64)
+    out.color[dst] = col[idx]
+    out.emission[dst] = emi[idx]
+    out.selectable[dst] = sel[idx]
+    out.collision[dst] = colls[idx]
     return out
 
 

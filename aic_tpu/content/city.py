@@ -106,25 +106,35 @@ def demo_city(seed: int = 0, size: int = 96, height: int = 24) -> Space:
     # each exhibit sits on a pedestal with a voxel-text name sign.
     from .exhibits import EXHIBITS, place_exhibit
 
+    # Multi-row gallery: exhibits fill a row along +X then wrap to the
+    # next row further down the road (the reference's placement walks a
+    # spiral of candidate plots, city.rs; rows serve the same purpose).
     ex_x = -half + 6
+    row_z = 7
+    row_depth = 0
     for exhibit in EXHIBITS:
-        sp_size = exhibit.factory().bounds.size
+        ex_sp = exhibit.factory()  # built once; placed below
+        sp_size = ex_sp.bounds.size
         if ex_x + sp_size[0] >= half - 2:
-            break
-        place_exhibit(space, exhibit, (ex_x, 1, 7), blocks["stone"])
+            ex_x = -half + 6
+            row_z += row_depth + 5
+            row_depth = 0
+        if row_z + sp_size[2] >= half - 2:
+            break  # city footprint exhausted
+        place_exhibit(space, exhibit, (ex_x, 1, row_z), blocks["stone"], prebuilt=ex_sp)
         ex_x += sp_size[0] + 4
+        row_depth = max(row_depth, sp_size[2])
 
     # One ticking "traffic light" block cycling colors via tick_action
-    # (exercises execute_tick_actions_system every step).
+    # (exercises execute_tick_actions_system every step). The cycle runs
+    # through BlockDef handles — immutable blocks cannot close a Become
+    # cycle by value (the old chain dead-ended after three transitions).
     from ..block import from_color
+    from .exhibits import _become_cycle
 
     red = from_color((1.0, 0.1, 0.1, 1.0), "signal-red")
     green = from_color((0.1, 1.0, 0.1, 1.0), "signal-green")
-    red_t = red.with_attributes(tick_action=Become(green.with_attributes()), tick_period=60)
-    # note: the green block's action is installed after both exist
-    green_t = green.with_attributes(tick_action=Become(red_t), tick_period=60)
-    red_t = red.with_attributes(tick_action=Become(green_t), tick_period=60)
-    space.set((4, 2, 4), red_t)
+    space.set((4, 2, 4), _become_cycle([red, green], period=60)[0])
 
     space.spawn_position = np.array([0.5, 3.0, half * 0.8])
     space.fast_evaluate_light()

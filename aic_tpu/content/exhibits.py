@@ -19,11 +19,22 @@ from typing import Callable
 
 import numpy as np
 
-from ..block import AIR, Atom, Block, Composite, Move, Recur, Rotate, TextPrimitive
+from ..block import (
+    AIR,
+    Atom,
+    Block,
+    Composite,
+    Move,
+    Recur,
+    Rotate,
+    TextPrimitive,
+    Zoom,
+)
 from ..block import from_color
 from ..math import faces
 from ..math.grid import GridAab, ROTATION_MATRICES
 from ..space import Sky, Space, SpacePhysics
+from ..universe import Become
 
 
 @dataclass(frozen=True)
@@ -177,6 +188,393 @@ def color_exhibit() -> Space:
     return sp
 
 
+def _become_cycle(frames: list[Block], period: int) -> list[Block]:
+    """Close a list of frames into a true tick_action Become cycle.
+
+    Immutable blocks cannot reference each other cyclically by value, so
+    the cycle runs through BlockDef handles — frame i's definition holds
+    a tick action Becoming the Indirect of frame i+1 (the reference's
+    animated content uses block definition handles the same way;
+    universe handles are its only cyclic reference mechanism)."""
+    from ..block import BlockDef, Indirect
+
+    defs = [BlockDef(AIR) for _ in frames]
+    handles = [Block(Indirect(d)) for d in defs]
+    n = len(frames)
+    for i in range(n):
+        defs[i].block = frames[i].with_attributes(
+            tick_action=Become(handles[(i + 1) % n]), tick_period=period
+        )
+    return handles
+
+
+def animation_exhibit() -> Space:
+    """exhibits/animation.rs ANIMATION + BECOME: animated blocks.
+
+    The reference redefines a block's voxel space every frame via an
+    AnimatedVoxels/Fire behavior on the anonymous block space; here each
+    frame is precomputed as a Recur block and the frames are chained by
+    tick_action Become (the device-friendly form — the palette stays
+    fixed, so no per-frame re-snapshot; same mechanism as the
+    reference's BecomeBlinker)."""
+    r = 8
+    green_ramp = [
+        (0.0, 0.3, 0.0, 1.0),
+        (0.0, 0.7, 0.0, 1.0),
+        (0.0, 1.0, 0.0, 1.0),
+        (0.0, 0.7, 0.7, 1.0),
+        (0.0, 0.3, 1.0, 1.0),
+    ]
+    n_frames = 10
+    # Sweep: diagonal bands of the ramp move through the block; some
+    # frames are fully transparent, some fully opaque (animation.rs
+    # fills pattern with 5 leading AIR entries).
+    x, y, z = np.meshgrid(*([np.arange(r)] * 3), indexing="ij")
+    loc = x + y + z  # [r,r,r]
+    frames = []
+    for f in range(n_frames):
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (r, r, r)))
+        value = (loc - f * 3) % (2 * len(green_ramp))
+        for ci, col in enumerate(green_ramp):
+            for cube in np.argwhere(value == ci + len(green_ramp)):
+                vox.set(tuple(int(c) for c in cube), from_color(col))
+        frames.append(
+            Block(Recur(space=vox, resolution=r)).with_attributes(animated=True)
+        )
+    chained = _become_cycle(frames, period=6)
+
+    # Fire: seeded noise flames cycling through 4 frames (Fire behavior
+    # analog, precomputed).
+    rng = np.random.default_rng(17)
+    fire_frames = []
+    fy = np.arange(r)[None, :, None] / r
+    for f in range(4):
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (r, r, r)))
+        noise = rng.random((r, r, r))
+        mask = noise > (0.3 + 0.7 * fy)  # denser at the bottom
+        for cube in np.argwhere(mask):
+            heat = 1.0 - cube[1] / r + rng.random() * 0.2
+            vox.set(
+                tuple(int(c) for c in cube),
+                from_color((1.0, float(np.clip(heat, 0, 1)) * 0.7, 0.05, 1.0)),
+            )
+        fire_frames.append(
+            Block(Recur(space=vox, resolution=r)).with_attributes(animated=True)
+        )
+    fire = _become_cycle(fire_frames, period=4)
+
+    # Blinker pair (animation.rs BECOME exhibit).
+    red = from_color((0.9, 0.1, 0.1, 1.0), "blinker-on")
+    dim = from_color((0.3, 0.05, 0.05, 1.0), "blinker-off")
+    blink = _become_cycle([red, dim], period=30)
+
+    sp = _exhibit_space((7, 3, 3))
+    sp.set((1, 1, 1), chained[0])
+    for xx in (3, 4):
+        sp.set((xx, 1, 1), fire[0])
+    sp.set((6, 1, 1), blink[0])
+    return sp
+
+
+def elevator_exhibit() -> Space:
+    """exhibits/elevator.rs ELEVATOR: a tall underground shaft
+    ("OUT OF SERVICE") — walls around a 3×16×3 void signalling there is
+    something below."""
+    sp = _exhibit_space((5, 16, 5))
+    wall = from_color((0.5, 0.5, 0.55, 1.0), "shaft-wall")
+    for y in range(16):
+        for x in range(5):
+            for z in range(5):
+                if x in (0, 4) or z in (0, 4):
+                    sp.set((x, y, z), wall)
+    return sp
+
+
+def knot_exhibit() -> Space:
+    """exhibits/knot.rs KNOT: a double-strand torus knot carved at R32
+    across a 5×5×3 block footprint (complex voxel shape stress).
+    Geometry re-derived with vectorized NumPy from the cited math:
+    cylindrical coords → torus cross-section → cross-section rotated by
+    twists·angle → two strands offset ±split; stripes by strand angle."""
+    res = 32
+    fx, fy, fz = 5, 5, 3  # block footprint
+    nx, ny, nz = fx * res, fy * res, fz * res
+    toroidal_radius = res * 1.5
+    split = res * 0.5625
+    strand_radius = res * 0.25
+    twists = 2.5
+
+    # Voxel centers measured from the space midpoint.
+    gx = np.arange(nx) - nx / 2 + 0.5
+    gy = np.arange(ny) - ny / 2 + 0.5
+    gz = np.arange(nz) - nz / 2 + 0.5
+    X, Y, Z = np.meshgrid(gx, gy, gz, indexing="ij")
+    rho = np.sqrt(X**2 + Y**2)  # cylindrical radius
+    cross = np.stack([rho - toroidal_radius, Z], axis=-1)  # torus cross-section
+    center_angle = np.arctan2(Y, X)
+    ca = np.cos(center_angle * twists)
+    sa = np.sin(center_angle * twists)
+    rot = np.stack(
+        [
+            cross[..., 0] * ca - cross[..., 1] * sa,
+            (cross[..., 0] * sa + cross[..., 1] * ca) / np.sqrt(2.0),
+        ],
+        axis=-1,
+    )
+
+    def strand(offset_sign):
+        kx = rot[..., 0] + offset_sign * split
+        ky = rot[..., 1]
+        inside = kx**2 + ky**2 < strand_radius**2
+        ang = np.arctan2(kx, ky) + center_angle
+        return inside, ang
+
+    in1, a1 = strand(-1.0)
+    in2, a2 = strand(+1.0)
+    a2 = a2 + np.pi  # second strand rotated so the stripes join up
+    inside = in1 | in2
+    angle = np.where(in1, a1, a2)
+    unit = (angle / (2 * np.pi)) % 1.0
+    stripe = np.where(unit < 0.25, 1, np.where((unit >= 0.5) & (unit < 0.75), 2, 0))
+
+    paints = [
+        from_color((0.7, 0.7, 0.7, 1.0)),
+        from_color((0.1, 0.1, 0.9, 1.0)),
+        from_color((0.9, 0.7, 0.1, 1.0)),
+    ]
+    sp = _exhibit_space((fx, fy, fz))
+    # space_to_blocks role: chop the drawing grid into Recur blocks,
+    # skipping empty cells.
+    for bx in range(fx):
+        for by in range(fy):
+            for bz in range(fz):
+                sub = inside[
+                    bx * res : (bx + 1) * res,
+                    by * res : (by + 1) * res,
+                    bz * res : (bz + 1) * res,
+                ]
+                if not sub.any():
+                    continue
+                ssub = stripe[
+                    bx * res : (bx + 1) * res,
+                    by * res : (by + 1) * res,
+                    bz * res : (bz + 1) * res,
+                ]
+                vox = Space(GridAab.from_lower_size((0, 0, 0), (res,) * 3))
+                # Bulk fill: intern the three paints once, then write the
+                # contents array directly (a 32³ python set() loop per
+                # block would dominate city generation).
+                idx = np.array([vox.ensure_block(b) for b in paints], np.uint16)
+                vox.contents = np.where(sub, idx[ssub], 0).astype(np.uint16)
+                sp.set((bx, by, bz), Block(Recur(space=vox, resolution=res)))
+    return sp
+
+
+def zoom_exhibit() -> Space:
+    """exhibits/zoom.rs ZOOM: a voxel specimen exploded into an 8³ array
+    of Zoom blocks, each magnifying one sub-cube; invisible zoomed cells
+    are cancelled to AIR (zoom.rs visible() check)."""
+    from ..block import evaluate
+
+    r = 16
+    vox = Space(GridAab.from_lower_size((0, 0, 0), (r, r, r)))
+    post = from_color((0.3, 0.3, 0.35, 1.0))
+    lamp = from_color((1.0, 0.95, 0.6, 1.0))
+    c = r // 2
+    for y in range(r):
+        vox.set((c, y, c), post)
+        if y > r - 5:
+            for dx, dz in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                vox.set((c + dx, y, c + dz), lamp)
+    specimen = Block(Recur(space=vox, resolution=r))
+
+    scale = 8
+    # Visibility precheck straight off the specimen's evaluated voxels:
+    # a zoomed cell is visible iff its sub-cube holds any alpha>0 voxel
+    # (cheaper than evaluating all scale³ Zoom blocks to find the ~2%
+    # that survive; matches zoom.rs's visible() cancellation).
+    ev = evaluate(specimen)
+    alpha = np.asarray(ev.voxels.color[..., 3])
+    sub = r // scale
+    occupied = (
+        alpha.reshape(scale, sub, scale, sub, scale, sub).max(axis=(1, 3, 5)) > 0
+    )
+    sp = _exhibit_space((scale, scale, scale))
+    for x, y, z in np.argwhere(occupied):
+        sp.set(
+            (int(x), int(y), int(z)),
+            specimen.with_modifier(
+                Zoom(scale=scale, offset=(int(x), int(y), int(z)))
+            ),
+        )
+    return sp
+
+
+def destruction_exhibit() -> Space:
+    """exhibits/destruction.rs DESTRUCTION: a block at 7 destruction
+    stages. Each stage composites the material with a Voronoi mask
+    (Composite In reversed); activating a stage Becomes the next one, so
+    clicking animates the destruction."""
+    from .alg import voronoi_pattern
+
+    width = 7
+    res = 16
+    rng = np.random.default_rng(3887829)
+    pts = rng.random((32, 3))
+    material = from_color((0.2, 0.6, 0.2, 1.0), "grass-block")
+
+    stages: list[Block] = []
+    next_stage: Block | None = None
+    # Build from most-destroyed (last) to first so each stage can chain
+    # its activation to the next.
+    for stage in reversed(range(width)):
+        fraction = (stage + 0.5) / width
+        region = voronoi_pattern(
+            res, [(tuple(p), 1 if p[1] <= fraction else 0) for p in pts]
+        )
+        mask_space = Space(GridAab.from_lower_size((0, 0, 0), (res,) * 3))
+        white = from_color((1.0, 1.0, 1.0, 1.0))
+        for cube in np.argwhere(region == 1):
+            mask_space.set(tuple(int(c) for c in cube), white)
+        mask = Block(Recur(space=mask_space, resolution=res))
+        destroyed = material.with_modifier(
+            Composite(source=mask, operator="in", reverse=True)
+        )
+        if next_stage is not None:
+            destroyed = destroyed.with_attributes(
+                activation_action=Become(next_stage)
+            )
+        stages.append(destroyed)
+        next_stage = destroyed
+    stages.reverse()
+
+    sp = _exhibit_space((width + 2, 3, 3))
+    for i, b in enumerate(stages):
+        sp.set((1 + i, 1, 1), b)
+    return sp
+
+
+def trees_exhibit() -> Space:
+    """exhibits/trees.rs TREES: a 4×4 grid of procedural trees of
+    increasing allowed height, on grass, with a growth-stage debug row."""
+    from .alg import make_tree
+
+    n, spacing = 4, 6
+    size = ((n - 1) * spacing + 5, 20, (n - 1) * spacing + 5)
+    sp = _exhibit_space(size)
+    grass = from_color((0.2, 0.55, 0.2, 1.0), "grass")
+    sp.fill(GridAab.from_lower_size((0, 0, 0), (size[0], 1, size[2])), grass)
+    rng = np.random.default_rng(128947981240 % (2**32))
+    for ix in range(n):
+        for iz in range(n):
+            make_tree(
+                sp,
+                (2 + ix * spacing, 1, 2 + iz * spacing),
+                height=2 + ix + iz * 2,
+                rng=rng,
+            )
+    # Growth-stage row: increasingly dense leaf blocks for debugging.
+    for i in range(4):
+        leaves_res = 4
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (leaves_res,) * 3))
+        leaf = from_color((0.15, 0.45, 0.12, 1.0))
+        density = (i + 1) / 4.0
+        lr = np.random.default_rng(i)
+        for cube in np.argwhere(lr.random((leaves_res,) * 3) < density):
+            vox.set(tuple(int(c) for c in cube), leaf)
+        sp.set((2 * i, 1, 0), Block(Recur(space=vox, resolution=leaves_res)))
+    return sp
+
+
+def transparency_structure_exhibit() -> Space:
+    """exhibits/transparency.rs TRANSPARENCY_WHOLE_BLOCK +
+    TRANSPARENCY_SHRUNKEN_BLOCK: four windowpane walls (one per horizontal
+    facing) with alpha increasing by row, around a checkerboard of two
+    half-cube R2 glass slabs (depth-sorting/blending stress)."""
+    colors = [
+        (1.0, 0.5, 0.5),
+        (0.5, 1.0, 0.5),
+        (0.5, 0.5, 1.0),
+        (0.9, 0.9, 0.9),
+    ]
+    alphas = [0.25, 0.5, 0.75, 0.95]
+    sp = _exhibit_space((7, 5, 7))
+    cx = cz = 3
+    # Four panes at distance 3 from center, one color each.
+    walls = [
+        [(cx + dx, cz + 3) for dx in (-1, 0, 1)],
+        [(cx + 3, cz + dz) for dz in (-1, 0, 1)],
+        [(cx + dx, cz - 3) for dx in (-1, 0, 1)],
+        [(cx - 3, cz + dz) for dz in (-1, 0, 1)],
+    ]
+    for color, cells in zip(colors, walls):
+        for y, a in enumerate(alphas):
+            for (x, z) in cells:
+                sp.set((x, y, z), Block(Atom(color=color + (a,))))
+
+    # Center: checkerboard of two R2 half-slabs at alpha 0.99.
+    r2 = 2
+    slabs = []
+    for which in range(2):
+        vox = Space(GridAab.from_lower_size((0, 0, 0), (r2, r2, r2)))
+        col = (0.9, 0.9, 1.0, 0.99) if which == 0 else (0.05, 0.05, 0.05, 0.99)
+        for x in range(r2):
+            for y in range(r2):
+                for z in range(r2):
+                    if (x >= 1) == (which == 0):
+                        vox.set((x, y, z), Block(Atom(color=col)))
+        slabs.append(Block(Recur(space=vox, resolution=r2)))
+    for x in (2, 3, 4):
+        for y in range(4):
+            for z in (2, 3, 4):
+                if (x, z) != (cx, cz):
+                    sp.set((x, y, z), slabs[(x + y + z) % 2])
+    return sp
+
+
+def inventory_exhibit() -> Space:
+    """exhibits/inventory.rs INVENTORY: a tray block with a 9-slot
+    3×3-row InvInBlock configuration, shown holding item blocks next to
+    an identical empty tray (in-block inventory rendering stress)."""
+    from ..block import BlockAttributes, InvInBlock, IconRow, InventoryModifier
+
+    res = 16
+    steel = from_color((0.55, 0.57, 0.6, 1.0))
+    vox = Space(GridAab.from_lower_size((0, 0, 0), (res,) * 3))
+    for x in range(res):
+        for z in range(res):
+            vox.set((x, 0, z), steel)  # tray bottom
+            if x in (0, res - 1) or z in (0, res - 1):
+                vox.set((x, 1, z), steel)  # tray rim
+    inv_config = InvInBlock(
+        inventory_size=9,
+        icon_scale=4,
+        render_resolution=res,
+        icon_rows=(
+            IconRow(first_slot=0, count=3, origin=(1, 1, 1), stride=(5, 0, 0)),
+            IconRow(first_slot=3, count=3, origin=(1, 1, 6), stride=(5, 0, 0)),
+            IconRow(first_slot=6, count=3, origin=(1, 1, 11), stride=(5, 0, 0)),
+        ),
+    )
+    tray = Block(
+        Recur(space=vox, resolution=res),
+        attributes=BlockAttributes(display_name="Tray", inventory=inv_config),
+    )
+    items = [
+        from_color((0.9, 0.1, 0.1, 1.0), "red item"),
+        from_color((0.1, 0.9, 0.1, 1.0), "green item"),
+        from_color((0.1, 0.1, 0.9, 1.0), "blue item"),
+        from_color((1.0, 0.95, 0.6, 1.0), "lamp"),
+    ]
+    filled = tray.with_modifier(
+        InventoryModifier(icons=tuple(items), slots=tuple(items))
+    )
+    sp = _exhibit_space((5, 3, 3))
+    sp.set((1, 1, 1), filled)
+    sp.set((3, 1, 1), tray.with_modifier(InventoryModifier(icons=(), slots=())))
+    return sp
+
+
 EXHIBITS: tuple[Exhibit, ...] = (
     Exhibit("Transparency", "Alpha blending of surfaces", transparency_exhibit),
     Exhibit("Composite", "Porter-Duff block combination", composite_exhibit),
@@ -185,13 +583,26 @@ EXHIBITS: tuple[Exhibit, ...] = (
     Exhibit("Move", "Move modifier phases", move_exhibit),
     Exhibit("Text", "Voxel text blocks", text_exhibit),
     Exhibit("Colors", "Color fidelity swatches", color_exhibit),
+    Exhibit("Animation", "Blocks whose definition is animated", animation_exhibit),
+    Exhibit("Elevator", "OUT OF SERVICE", elevator_exhibit),
+    Exhibit("Knot", "Complex voxel shape", knot_exhibit),
+    Exhibit("Zoom", "Modifier::Zoom exploded specimen", zoom_exhibit),
+    Exhibit("Destruction", "Animation prototype", destruction_exhibit),
+    Exhibit("Trees", "Procedural tree growth", trees_exhibit),
+    Exhibit(
+        "Glass", "Depth sorting and blending", transparency_structure_exhibit
+    ),
+    Exhibit("Inventory", "Modifier::Inventory trays", inventory_exhibit),
 )
 
 
-def place_exhibit(city: Space, exhibit: Exhibit, origin, pedestal: Block) -> None:
+def place_exhibit(
+    city: Space, exhibit: Exhibit, origin, pedestal: Block, prebuilt: Space = None
+) -> None:
     """Copy an exhibit's space into the city at `origin`, on a pedestal
-    slab, with a voxel-text name sign (city.rs exhibit placement role)."""
-    sp = exhibit.factory()
+    slab, with a voxel-text name sign (city.rs exhibit placement role).
+    `prebuilt` lets the caller reuse a space it already constructed."""
+    sp = prebuilt if prebuilt is not None else exhibit.factory()
     size = sp.bounds.size
     ox, oy, oz = origin
     # Pedestal slab under the exhibit footprint.

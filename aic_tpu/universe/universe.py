@@ -439,11 +439,18 @@ class Universe:
             txn.check(sp)
         except Exception:
             return 0
+        pal_before = sp.palette_len()
         new_state = txn.commit(sp, self.states[name])
         if new_state is None:
             self.resnapshot(name)
         else:
             self.states[name] = new_state
+            if sp.palette_len() != pal_before:
+                # New palette entries may carry tick actions (a Become
+                # chain interning its next frame) — the action index
+                # must cover them even when the device state was
+                # updated in place.
+                self._reindex_tick_actions(name)
         self.fluff_buffer.extend(txn.fluff)
         return len(txn.cubes)
 

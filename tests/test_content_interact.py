@@ -284,3 +284,132 @@ def test_dungeon_has_inventory_chests():
     assert chests, "dungeon should contain inventory chests"
     ev = sp.evaluated(sp.palette.index(chests[0]))
     assert ev.resolution == 16  # icons rendered the chest into voxels
+
+
+class TestNewExhibits:
+    """Semantics of the round-3 exhibits (city/exhibits/*.rs analogs)."""
+
+    def test_animation_blocks_cycle_via_become(self):
+        """animation.rs: the sweep/fire/blinker frames form CLOSED
+        tick_action Become cycles (through BlockDef handles — evaluated
+        attributes carry the actions, block_def.rs transparency)."""
+        from aic_tpu.block import evaluate
+        from aic_tpu.content.exhibits import animation_exhibit
+        from aic_tpu.universe.op import Become
+
+        sp = animation_exhibit()
+        animated = [
+            b
+            for b in sp.palette
+            if evaluate(b).attributes.tick_action is not None
+        ]
+        assert animated, "no animated blocks placed"
+        for b in animated:
+            # Follow the Become chain; it must return to the start
+            # within a bounded number of hops (a closed cycle).
+            cur = b
+            for _ in range(16):
+                act = evaluate(cur).attributes.tick_action
+                assert isinstance(act, Become), (b, cur)
+                nxt = act.block
+                if nxt == b:
+                    break
+                cur = nxt
+            else:
+                raise AssertionError(f"Become chain of {b} never closes")
+
+    def test_animation_cycle_steps_in_universe(self):
+        """Placing the animated exhibit in a universe and stepping
+        actually swaps frames (execute_tick_actions_system)."""
+        import numpy as np
+
+        from aic_tpu.content.exhibits import animation_exhibit
+        from aic_tpu.universe import Universe
+
+        sp = animation_exhibit()
+        u = Universe()
+        u.light_rounds_per_tick = 0
+        u.insert_space("a", sp)
+        seen = set()
+        for _ in range(31):  # covers the blinker period (30)
+            u.step()
+            seen.add(sp.contents.tobytes())
+        # SUSTAINED cycling: frames interned mid-run must keep ticking
+        # (the action index covers palette entries added by commits).
+        assert len(seen) > 2, f"animation stalled after {len(seen)} state(s)"
+
+    def test_destruction_stages_chain_by_activation(self):
+        from aic_tpu.content.exhibits import destruction_exhibit
+        from aic_tpu.universe.op import Become
+
+        sp = destruction_exhibit()
+        staged = [b for b in sp.palette if b.attributes.activation_action]
+        # width-1 stages carry an activation (the last has none).
+        assert len(staged) == 6
+        for b in staged:
+            assert isinstance(b.attributes.activation_action, Become)
+
+    def test_zoom_exhibit_magnifies_specimen(self):
+        from aic_tpu.block import Zoom
+        from aic_tpu.content.exhibits import zoom_exhibit
+
+        sp = zoom_exhibit()
+        zoomed = [
+            b
+            for b in sp.palette
+            if any(isinstance(m, Zoom) for m in b.modifiers)
+        ]
+        assert zoomed
+        # every placed cell's Zoom offset matches its grid position
+        import numpy as np
+
+        for cube in np.argwhere(sp.contents != 0):
+            b = sp.palette[int(sp.contents[tuple(cube)])]
+            (zm,) = [m for m in b.modifiers if isinstance(m, Zoom)]
+            assert zm.offset == tuple(int(c) for c in cube)
+
+    def test_knot_has_three_paints_and_solid_core(self):
+        from aic_tpu.content.exhibits import knot_exhibit
+
+        sp = knot_exhibit()
+        # 3 stripe paints spread across many voxel blocks.
+        assert sp.palette_len() > 10
+        assert (sp.contents != 0).sum() >= 30
+
+    def test_inventory_exhibit_renders_items_in_block(self):
+        """inventory.rs: the filled tray's evaluated voxels contain the
+        item icons (in-block inventory rendering)."""
+        import numpy as np
+
+        from aic_tpu.block import evaluate
+        from aic_tpu.content.exhibits import inventory_exhibit
+
+        sp = inventory_exhibit()
+        filled = sp.block_at((1, 1, 1))
+        empty = sp.block_at((3, 1, 1))
+        ev_f = evaluate(filled)
+        ev_e = evaluate(empty)
+        # The filled tray shows strictly more non-air voxels (the icons).
+        n_f = int((np.asarray(ev_f.voxels.color)[..., 3] > 0).sum())
+        n_e = int((np.asarray(ev_e.voxels.color)[..., 3] > 0).sum())
+        assert n_f > n_e
+
+    def test_trees_and_elevator_and_glass_build(self):
+        from aic_tpu.content.exhibits import (
+            elevator_exhibit,
+            transparency_structure_exhibit,
+            trees_exhibit,
+        )
+
+        t = trees_exhibit()
+        assert (t.contents != 0).sum() > 500  # grass + trunks + leaves
+        e = elevator_exhibit()
+        assert e.bounds.size[1] == 16
+        g = transparency_structure_exhibit()
+        # Glass exhibit holds semi-transparent palette entries.
+        semi = [
+            b
+            for b in g.palette
+            if getattr(b.primitive, "color", (0, 0, 0, 1))[3] not in (0.0, 1.0)
+        ]
+        assert semi

@@ -288,3 +288,99 @@ def test_session_renders_without_character():
     assert r2.data.shape == (8, 8, 4)
     assert not r2.data.any()
     assert "NO_CHARACTER" in r2.flaws
+
+
+class TestWidgetControllers:
+    """Incremental VUI updates (widget_trait.rs:58-89 WidgetController,
+    vui_manager.rs step loop): changes commit per-cell transactions to
+    the existing device state instead of redrawing/re-snapshotting."""
+
+    def _session(self):
+        from aic_tpu.apps import Session
+        from aic_tpu.content import TemplateParameters, build_universe
+        from aic_tpu.raytrace import Viewport
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(16, 16))
+        s.enable_ui()
+        return s
+
+    def test_step_without_changes_is_noop(self):
+        s = self._session()
+        state_before = s.hud.state
+        assert s.hud.step(s) is False
+        # The device state object is untouched (no commit, no snapshot).
+        assert s.hud.state is state_before
+
+    def test_slot_selection_updates_only_toolbar_cells(self):
+        s = self._session()
+        before = np.asarray(s.ui_state.contents).copy()
+        state_before = s.hud.state
+        s.select_slot(3)
+        after = np.asarray(s.ui_state.contents)
+        changed = np.argwhere(before != after)
+        assert len(changed) > 0  # highlight moved
+        # Only toolbar-row cells (y in {0,1} band at the toolbar origin)
+        # changed — not the whole UI space.
+        assert len(changed) <= 8, changed
+        assert set(int(c[1]) for c in changed) <= {0, 1}
+        # And the state advanced by transaction commit, not re-snapshot:
+        # untouched planes are byte-identical.
+        assert s.hud.state is not state_before
+
+    def test_second_step_same_fingerprint_noop(self):
+        s = self._session()
+        s.select_slot(2)
+        assert s.hud.step(s) is False
+
+    def test_notification_row_via_controller(self):
+        s = self._session()
+        note = s.show_notification("Build", 0.25)
+        assert s.hud.step(s) is True
+        y = s.ui_space.bounds.size[1] - 2
+        row = np.asarray(s.ui_state.contents)[:, y, 0]
+        assert (row != 0).any()
+        # Progress advance changes the row again (fingerprint includes
+        # fraction; notification.rs:111 set_content).
+        from aic_tpu.vui.notification import ProgressContent
+
+        note.set_content(ProgressContent("Build", 0.75))
+        assert s.hud.step(s) is True
+        note.dismiss()
+        assert s.hud.step(s) is True
+        row = np.asarray(s.ui_state.contents)[:, y, 0]
+        assert (row == 0).all()
+
+    def test_hud_steps_with_universe(self):
+        """maybe_step drives controllers (vui_manager steps per frame)."""
+        s = self._session()
+        note = s.show_notification("Tick", 0.1)  # held: hub refs are weak
+        s.maybe_step(now=1e9)
+        y = s.ui_space.bounds.size[1] - 2
+        assert (np.asarray(s.ui_state.contents)[:, y, 0] != 0).any()
+
+    def test_custom_animated_controller(self):
+        """An animated widget: fingerprint includes a clock phase, so the
+        widget re-renders on schedule (widget_trait step(Tick) analog)."""
+        from aic_tpu.vui.controller import WidgetController
+        from aic_tpu.vui.widgets import ProgressBar
+
+        s = self._session()
+
+        class Pulse:
+            phase = 0
+
+            def draw(self, space, lower):
+                ProgressBar(fraction=(self.phase % 4) / 4.0, width=4).draw(
+                    space, lower
+                )
+
+        pulse = Pulse()
+        ctl = s.hud.add_controller(
+            pulse, (0, 2, 0), lambda _s: pulse.phase
+        )
+        assert s.hud.step(s) is True  # initial draw
+        assert s.hud.step(s) is False  # same phase: no-op
+        pulse.phase = 1
+        assert s.hud.step(s) is True  # re-rendered on phase change
