@@ -328,11 +328,15 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     hi = np.minimum([lx + r, ly + r, lz + r], upper)
     if (hi <= lo).any():
         return out
-    p = space.palette_len()
-    col = np.zeros((p, 4), np.float32)
-    emi = np.zeros((p, 3), np.float32)
-    sel = np.zeros(p, bool)
-    colls = np.zeros(p, np.int8)
+    # Only completed palette entries have evaluations: during a cyclic
+    # load/eval the entry being interned right now has no row yet (the
+    # old per-cube path never touched it because contents cannot
+    # reference an unfinished entry); out-of-range indices read as air.
+    p = len(space._evaluated)
+    col = np.zeros((max(p, 1), 4), np.float32)
+    emi = np.zeros((max(p, 1), 3), np.float32)
+    sel = np.zeros(max(p, 1), bool)
+    colls = np.zeros(max(p, 1), np.int8)
     for i in range(p):
         ev = space.evaluated(i)
         vox = ev.voxels
@@ -353,6 +357,7 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     src = tuple(slice(int(a - l), int(b - l)) for a, b, l in zip(lo, hi, lower))
     dst = tuple(slice(int(a - o), int(b - o)) for a, b, o in zip(lo, hi, (lx, ly, lz)))
     idx = np.asarray(space.contents[src], np.int64)
+    idx = np.where(idx < max(p, 1), idx, 0)
     out.color[dst] = col[idx]
     out.emission[dst] = emi[idx]
     out.selectable[dst] = sel[idx]
@@ -362,19 +367,56 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
 
 def _evaluate_text(primitive: model.TextPrimitive, budget: _Budget) -> Evoxels:
     """Voxelize this block's tile of the laid-out string (block/text.rs
-    Primitive::Text → text/layout.rs). Glyph pixels become a `depth`-thick
-    slab of colored voxels at the block's front (z = 0) face."""
-    from ..text.font import text_tile
-
+    Primitive::Text → text/layout.rs)."""
     r = primitive.resolution
     budget.spend_voxels(r * r * r)
     out = Evoxels.air(resolution=r)
+    if primitive.font != "pil":
+        return _evaluate_text_layout(primitive, out)
+    from ..text.font import text_tile
+
     mask = text_tile(primitive.text, r, primitive.tile)  # bool[x, y]
     col = np.asarray(primitive.color, np.float32)
     depth = max(min(primitive.depth, r), 1)
     for z in range(depth):
         out.color[:, :, z][mask] = col
         out.collision[:, :, z][mask] = COLLISION_NONE
+    return out
+
+
+def _evaluate_text_layout(primitive: model.TextPrimitive, out: Evoxels) -> Evoxels:
+    """Full-fidelity path: compute_layout + brush draw, windowed to this
+    block's multiblock offset (text.rs:381 draw_voxels_to_transaction)."""
+    from ..text import layout as TL
+
+    r = primitive.resolution
+    font = TL.FONTS[primitive.font]
+    pos = (
+        TL.Positioning(*primitive.positioning)
+        if primitive.positioning is not None
+        else TL.Positioning()
+    )
+    if primitive.layout_lower is not None:
+        bounds = GridAab.from_lower_size(
+            primitive.layout_lower, primitive.layout_size
+        )
+    else:
+        bounds = GridAab.from_lower_size((0, 0, 0), (r,) * 3)
+    outlined = primitive.outline_color is not None
+    lay = TL.compute_layout(primitive.text, font, outlined, bounds, pos)
+    fg = np.asarray(primitive.color, np.float32)
+    oc = (
+        np.asarray(primitive.outline_color, np.float32)
+        if outlined
+        else None
+    )
+    ox, oy = primitive.tile[0] * r, primitive.tile[1] * r
+    oz = primitive.tile_z * r
+    for (x, y, z), v in TL.draw_layout_voxels(lay, font, outlined):
+        lx, ly, lz = x - ox, y - oy, z - oz
+        if 0 <= lx < r and 0 <= ly < r and 0 <= lz < r:
+            out.color[lx, ly, lz] = fg if v == TL.VALUE_FOREGROUND else oc
+            out.collision[lx, ly, lz] = COLLISION_NONE
     return out
 
 

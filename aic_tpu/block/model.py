@@ -109,17 +109,30 @@ class Indirect(Primitive):
 
 @dataclass(frozen=True)
 class TextPrimitive(Primitive):
-    """Voxel text (block/text.rs). The string is rasterized host-side
-    (text/font.py, PIL bitmap font — documented deviation from the
-    reference's embedded font stack) and laid out across block tiles:
-    `tile` selects which resolution² window of the laid-out string this
-    block shows (text/layout.rs multi-block layout)."""
+    """Voxel text (block/text.rs Primitive::Text).
+
+    Two rendering paths:
+    - font="pil" (legacy deviation): the string is rasterized with PIL's
+      bitmap font (text/font.py) and `tile` selects the resolution²
+      window — kept for existing content and saves.
+    - font in {"system16", "body-text"}: full-fidelity layout through
+      text/layout.py — the reference's own glyph atlases, Positioning
+      (x, line_y, z per positioning.rs), voxel-scale layout bounds, and
+      optional 8-neighborhood outline (font.rs brush). `tile`+`tile_z`
+      are the Primitive::Text multiblock offset.
+    """
 
     text: str
     resolution: int = 16
     color: tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     tile: tuple[int, int] = (0, 0)
-    depth: int = 1  # voxel thickness of the glyph slab
+    depth: int = 1  # voxel thickness of the glyph slab (pil path)
+    font: str = "pil"
+    positioning: Optional[tuple] = None  # (x, line_y, z) variant names
+    layout_lower: Optional[tuple] = None
+    layout_size: Optional[tuple] = None
+    outline_color: Optional[tuple] = None
+    tile_z: int = 0
 
 
 @dataclass(frozen=True)

@@ -308,15 +308,62 @@ class _Importer:
                 base = AIR
         elif t == "TextPrimitiveV1":
             text_d = p["text"]
-            fg = text_d.get("foreground")
-            color = (1.0, 1.0, 1.0, 1.0)
-            if fg and fg["primitive"]["type"] == "AtomV1":
-                color = tuple(float(c) for c in fg["primitive"]["color"])
+
+            def _atom_color(blk_d, default):
+                if blk_d and blk_d["primitive"]["type"] == "AtomV1":
+                    return tuple(float(c) for c in blk_d["primitive"]["color"])
+                return default
+
+            color = _atom_color(text_d.get("foreground"), (1.0, 1.0, 1.0, 1.0))
+            outline_d = text_d.get("outline")
+            outline = (
+                _atom_color(outline_d, (0.0, 0.0, 0.0, 1.0))
+                if outline_d is not None
+                else None
+            )
+            font_handle = text_d.get("font", {})
+            font_name = str(font_handle.get("Builtin", ""))
+            font = {
+                "all-is-cubes/font/system-16": "system16",
+                "all-is-cubes/font/body-text": "body-text",
+            }.get(font_name, "system16")
+            lbd = text_d.get("layout_bounds")
+            lb = (
+                GridAab.from_lower_upper(lbd["lower"], lbd["upper"])
+                if lbd
+                else None
+            )
+            posd = text_d.get("positioning")
+            positioning = None
+            if posd:
+                # PositioningSerV1 variant names → our variant strings.
+                strip = lambda v: str(v).removesuffix("V1")
+                xmap = {"Left": "left", "Center": "center", "Right": "right"}
+                ymap = {
+                    "BodyTop": "body-top",
+                    "BodyMiddle": "body-middle",
+                    "Baseline": "baseline",
+                    "BodyBottom": "body-bottom",
+                }
+                zmap = {"Back": "back", "Front": "front"}
+                positioning = (
+                    xmap.get(strip(posd["x"]), "center"),
+                    ymap.get(strip(posd["line_y"]), "body-middle"),
+                    zmap.get(strip(posd["z"]), "back"),
+                )
+            off = p.get("offset", [0, 0, 0])
             base = Block(
                 TextPrimitive(
                     text=str(text_d.get("string", "")),
                     resolution=int(text_d.get("resolution", 16)),
                     color=color,
+                    tile=(int(off[0]), int(off[1])),
+                    tile_z=int(off[2]),
+                    font=font,
+                    positioning=positioning,
+                    layout_lower=None if lb is None else lb.lower,
+                    layout_size=None if lb is None else lb.size,
+                    outline_color=outline,
                 )
             )
         else:
@@ -570,28 +617,63 @@ def _block_to_schema(blk: Block, space_names: dict) -> dict:
         if any(p.offset):
             prim["offset"] = list(p.offset)
     elif isinstance(p, TextPrimitive):
+        font_name = {
+            "system16": "all-is-cubes/font/system-16",
+            "body-text": "all-is-cubes/font/body-text",
+        }.get(p.font, "all-is-cubes/font/system-16")
+        if p.layout_lower is not None:
+            lb = {
+                "lower": [int(c) for c in p.layout_lower],
+                "upper": [
+                    int(l + s) for l, s in zip(p.layout_lower, p.layout_size)
+                ],
+            }
+        else:
+            lb = {"lower": [0, 0, 0], "upper": [int(p.resolution)] * 3}
+        if p.positioning is not None:
+            xmap = {"left": "LeftV1", "center": "CenterV1", "right": "RightV1"}
+            ymap = {
+                "body-top": "BodyTopV1",
+                "body-middle": "BodyMiddleV1",
+                "baseline": "BaselineV1",
+                "body-bottom": "BodyBottomV1",
+            }
+            zmap = {"back": "BackV1", "front": "FrontV1"}
+            positioning = {
+                "x": xmap[p.positioning[0]],
+                "line_y": ymap[p.positioning[1]],
+                "z": zmap[p.positioning[2]],
+            }
+        elif p.font == "pil":
+            # Legacy PIL tiles lay out Left/BodyTop/Front.
+            positioning = {"x": "LeftV1", "line_y": "BodyTopV1", "z": "FrontV1"}
+        else:
+            # TextBuilder::default positioning (text.rs:707-711).
+            positioning = {"x": "CenterV1", "line_y": "BodyMiddleV1", "z": "BackV1"}
+        text_schema = {
+            "type": "TextV1",
+            "string": p.text,
+            "font": {"type": "HandleV1", "Builtin": font_name},
+            "foreground": {
+                "type": "BlockV1",
+                "primitive": {"type": "AtomV1", "color": [float(c) for c in p.color]},
+            },
+            "resolution": int(p.resolution),
+            "layout_bounds": lb,
+            "positioning": positioning,
+        }
+        if p.outline_color is not None:
+            text_schema["outline"] = {
+                "type": "BlockV1",
+                "primitive": {
+                    "type": "AtomV1",
+                    "color": [float(c) for c in p.outline_color],
+                },
+            }
         prim = {
             "type": "TextPrimitiveV1",
-            "text": {
-                "type": "TextV1",
-                "string": p.text,
-                "font": {"type": "HandleV1", "Builtin": "all-is-cubes/font/system-16"},
-                "foreground": {
-                    "type": "BlockV1",
-                    "primitive": {"type": "AtomV1", "color": [float(c) for c in p.color]},
-                },
-                "resolution": int(p.resolution),
-                "layout_bounds": {
-                    "lower": [0, 0, 0],
-                    "upper": [int(p.resolution)] * 3,
-                },
-                "positioning": {
-                    "x": "LeftV1",
-                    "line_y": "BodyTopV1",
-                    "z": "FrontV1",
-                },
-            },
-            "offset": [0, 0, 0],
+            "text": text_schema,
+            "offset": [int(p.tile[0]), int(p.tile[1]), int(p.tile_z)],
         }
     else:
         raise ValueError(f"unsupported primitive for export: {type(p).__name__}")

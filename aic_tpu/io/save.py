@@ -74,6 +74,17 @@ def block_to_schema(b: blockmod.Block, space_registry: dict) -> dict:
             "text": p.text,
             "resolution": p.resolution,
             "color": list(map(float, p.color)),
+            "tile": list(p.tile),
+            "tile_z": p.tile_z,
+            "font": p.font,
+            "positioning": None if p.positioning is None else list(p.positioning),
+            "layout_lower": None if p.layout_lower is None else list(p.layout_lower),
+            "layout_size": None if p.layout_size is None else list(p.layout_size),
+            "outline_color": (
+                None
+                if p.outline_color is None
+                else list(map(float, p.outline_color))
+            ),
         }
     else:
         raise ValueError(f"unserializable primitive {p!r}")
@@ -132,7 +143,30 @@ def block_from_schema(d: dict, spaces: dict, defs: dict | None = None) -> blockm
         )
     elif t == "text":
         prim = blockmod.TextPrimitive(
-            text=p["text"], resolution=p["resolution"], color=tuple(p["color"])
+            text=p["text"],
+            resolution=p["resolution"],
+            color=tuple(p["color"]),
+            tile=tuple(p.get("tile", (0, 0))),
+            tile_z=p.get("tile_z", 0),
+            font=p.get("font", "pil"),
+            positioning=(
+                None
+                if p.get("positioning") is None
+                else tuple(p["positioning"])
+            ),
+            layout_lower=(
+                None
+                if p.get("layout_lower") is None
+                else tuple(p["layout_lower"])
+            ),
+            layout_size=(
+                None if p.get("layout_size") is None else tuple(p["layout_size"])
+            ),
+            outline_color=(
+                None
+                if p.get("outline_color") is None
+                else tuple(p["outline_color"])
+            ),
         )
     else:
         raise ValueError(f"unknown primitive type {t}")

@@ -47,33 +47,38 @@ def char_to_glyph_index(c: str) -> int:
     return 0x1F  # '?'
 
 
-@functools.lru_cache(maxsize=1)
-def _glyph_masks() -> np.ndarray:
-    """bool[n_glyphs, CHAR_H, CHAR_W] foreground masks."""
-    if os.path.exists(ATLAS_PATH):
+@functools.lru_cache(maxsize=4)
+def atlas_masks(path: str, char_w: int, char_h: int) -> np.ndarray:
+    """bool[n_glyphs, char_h, char_w] foreground masks from a font
+    atlas PNG (16 glyphs/row, rgba_to_bit per font.rs:556: r>0 & a>0).
+    Falls back to PIL's default bitmap font when the atlas is absent
+    (a deployed install without the reference checkout)."""
+    if os.path.exists(path):
         from PIL import Image
 
-        img = np.asarray(Image.open(ATLAS_PATH).convert("RGBA"))
-        # rgba_to_bit (font.rs:556): r > 0 and a > 0.
+        img = np.asarray(Image.open(path).convert("RGBA"))
         fg = (img[..., 0] > 0) & (img[..., 3] > 0)
-        rows = img.shape[0] // CHAR_H
-        masks = (
-            fg.reshape(rows, CHAR_H, GLYPHS_PER_ROW, CHAR_W)
+        rows = img.shape[0] // char_h
+        return (
+            fg.reshape(rows, char_h, GLYPHS_PER_ROW, char_w)
             .transpose(0, 2, 1, 3)
-            .reshape(rows * GLYPHS_PER_ROW, CHAR_H, CHAR_W)
+            .reshape(rows * GLYPHS_PER_ROW, char_h, char_w)
         )
-        return masks
-    # Fallback: PIL default bitmap font scaled into 7x16 cells.
     from PIL import Image, ImageDraw, ImageFont
 
     font = ImageFont.load_default()
-    masks = np.zeros((224, CHAR_H, CHAR_W), bool)
+    masks = np.zeros((224, char_h, char_w), bool)
     for gi in range(224):
         o = gi + 0x20 if gi < 0x60 else gi + 0x40
-        im = Image.new("L", (CHAR_W, CHAR_H), 0)
+        im = Image.new("L", (char_w, char_h), 0)
         ImageDraw.Draw(im).text((0, 2), chr(o), fill=255, font=font)
         masks[gi] = np.asarray(im) > 0
     return masks
+
+
+def _glyph_masks() -> np.ndarray:
+    """bool[n_glyphs, CHAR_H, CHAR_W] system-16 foreground masks."""
+    return atlas_masks(ATLAS_PATH, CHAR_W, CHAR_H)
 
 
 @functools.lru_cache(maxsize=256)
