@@ -22,6 +22,11 @@ CATCH_UP_STEPS = 2  # session.rs CATCH_UP_STEPS bound on missed-frame catch-up
 STEP_DT = 1.0 / 60.0
 
 
+MOMENTARY_HOLD_S = 0.2  # input.rs:155 momentary_timeout 200 ms
+TURN_RATE_DEG_S = 80.0  # input.rs:296 key_turning_step = 80°/s
+MOUSELOOK_SCALE = 0.2  # input.rs:200 mouselook_buffer += delta * 0.2
+
+
 @dataclass
 class InputState:
     """input.rs:39 InputProcessor: held-key state → motion intents.
@@ -30,11 +35,30 @@ class InputState:
     reference's InputProcessor keymap provides): movement commands carry
     a direction; action commands ("jump", "pause", "slot-N", "quit") are
     read by frontends via `command(key)`. `rebind` replaces a key's
-    command at runtime."""
+    command at runtime.
+
+    Richness per the reference InputProcessor:
+    - `key_momentary` virtually holds a key for 200 ms, for frontends
+      that only see key *presses* (web keypress events, terminals) —
+      input.rs:154.
+    - `key_focus(False)` drops all held state so keys never stick when
+      the window loses focus — input.rs:165.
+    - Mouselook deltas accumulate into a turn buffer (scaled 0.2°/px,
+      input.rs:197-200) consumed once per simulation step together with
+      arrow-key turning at 80°/s (input.rs apply_input) — frame-rate
+      independent look control.
+    - `mouse_ndc` tracks the free cursor for picking (input.rs:214).
+    """
 
     keys: set = field(default_factory=set)
-    mouselook_delta: tuple = (0.0, 0.0)
     bindings: dict = None
+    #: key -> remaining virtual-hold seconds (input.rs momentary_timeout).
+    momentary: dict = field(default_factory=dict)
+    #: Accumulated (yaw°, pitch°) to apply next step.
+    turn_buffer: list = field(default_factory=lambda: [0.0, 0.0])
+    #: Last known cursor position in NDC, or None when outside/captured.
+    mouse_ndc: Optional[tuple] = None
+    has_focus: bool = True
 
     DEFAULT_BINDINGS = {
         "w": ("move", (0, 0, -1)),
@@ -43,6 +67,11 @@ class InputState:
         "d": ("move", (1, 0, 0)),
         "e": ("move", (0, 1, 0)),
         "c": ("move", (0, -1, 0)),
+        # Arrow keys turn (input.rs net_movement(Left, Right) turning).
+        "left": ("turn", (1.0, 0.0)),
+        "right": ("turn", (-1.0, 0.0)),
+        "up": ("turn", (0.0, 1.0)),
+        "down": ("turn", (0.0, -1.0)),
         " ": ("jump", None),
         "p": ("pause", None),
         "q": ("quit", None),
@@ -58,6 +87,61 @@ class InputState:
 
     def command(self, key: str):
         return self.bindings.get(key)
+
+    # -- key state (input.rs:136-177) ---------------------------------------
+
+    def key_down(self, key: str) -> None:
+        if self.has_focus:
+            self.keys.add(key)
+
+    def key_up(self, key: str) -> None:
+        self.keys.discard(key)
+        self.momentary.pop(key, None)
+
+    def key_momentary(self, key: str) -> None:
+        """Press + virtual 200 ms hold (input.rs:154): for event sources
+        that never deliver a key-up."""
+        self.key_down(key)
+        self.momentary[key] = MOMENTARY_HOLD_S
+
+    def key_focus(self, focus: bool) -> None:
+        """input.rs:165 key_focus: focus loss clears all held state."""
+        self.has_focus = focus
+        if not focus:
+            self.keys.clear()
+            self.momentary.clear()
+            self.turn_buffer[0] = self.turn_buffer[1] = 0.0
+
+    # -- look control ---------------------------------------------------------
+
+    def mouselook_delta(self, dx: float, dy: float) -> None:
+        """Relative pointer motion while captured (input.rs:197): right
+        motion turns right (yaw−), up motion looks up (pitch+)."""
+        self.turn_buffer[0] -= dx * MOUSELOOK_SCALE
+        self.turn_buffer[1] -= dy * MOUSELOOK_SCALE
+
+    def take_turning(self, dt: float) -> tuple[float, float]:
+        """Consume the accumulated (yaw°, pitch°) for one step: buffered
+        mouselook plus held arrow keys at 80°/s (input.rs:294-302)."""
+        dyaw, dpitch = self.turn_buffer
+        self.turn_buffer[0] = self.turn_buffer[1] = 0.0
+        for k in self.keys:
+            cmd = self.bindings.get(k)
+            if cmd and cmd[0] == "turn":
+                dyaw += cmd[1][0] * TURN_RATE_DEG_S * dt
+                dpitch += cmd[1][1] * TURN_RATE_DEG_S * dt
+        return dyaw, dpitch
+
+    def step(self, dt: float) -> None:
+        """Per-simulation-step upkeep (input.rs:263 step): decay
+        momentary holds, releasing expired keys."""
+        expired = []
+        for k in self.momentary:
+            self.momentary[k] -= dt
+            if self.momentary[k] <= 0:
+                expired.append(k)
+        for k in expired:
+            self.key_up(k)
 
     def movement(self) -> np.ndarray:
         v = np.zeros(3)
@@ -148,6 +232,15 @@ class Session:
         yaw = float(np.asarray(u.bodies.yaw)[i])
         pitch = float(np.asarray(u.bodies.pitch)[i])
         flying = bool(np.asarray(u.bodies.flying)[i])
+
+        # Turning: buffered mouselook + arrow keys, consumed per step
+        # (input.rs apply_input: yaw wraps, pitch clamps ±90).
+        dyaw, dpitch = self.input.take_turning(STEP_DT)
+        if dyaw != 0.0 or dpitch != 0.0:
+            yaw = (yaw + dyaw) % 360.0
+            pitch = float(np.clip(pitch + dpitch, -90.0, 90.0))
+            self.set_look(yaw, pitch)
+        self.input.step(STEP_DT)
 
         move = self.input.movement()
         # Rotate intent by yaw (around Y): -Z is forward.

@@ -25,7 +25,8 @@ import time
 
 import numpy as np
 
-MOUSELOOK_SENSITIVITY = 0.2  # degrees per pixel of captured mouse motion
+# Mouselook sensitivity lives in InputState (session.MOUSELOOK_SCALE,
+# input.rs:200): deltas buffer there and are consumed once per step.
 
 
 def _pygame():
@@ -114,13 +115,29 @@ class WindowMain:
                 elif k and s.input.command(k) and s.input.command(k)[0] == "slot":
                     s.select_slot(s.input.command(k)[1])
                 elif k:
-                    s.input.keys.add(k)
+                    s.input.key_down(k)
             elif event.type == pg.KEYUP:
                 k = self._key_name(event)
-                s.input.keys.discard(k)
-            elif event.type == pg.MOUSEMOTION and self.captured:
-                dx, dy = event.rel
-                self._mouselook(dx, dy)
+                if k:
+                    s.input.key_up(k)
+            elif event.type == pg.WINDOWFOCUSLOST:
+                # input.rs:165 key_focus(false): never leave keys stuck.
+                s.input.key_focus(False)
+            elif event.type == pg.WINDOWFOCUSGAINED:
+                s.input.key_focus(True)
+            elif event.type == pg.MOUSEMOTION:
+                if self.captured and not s.paused:
+                    dx, dy = event.rel
+                    s.input.mouselook_delta(dx, dy)  # consumed per step
+                else:
+                    # Track the free cursor in NDC for picking
+                    # (input.rs:214 mouse_ndc_position).
+                    vp = s.camera.viewport
+                    x, y = event.pos
+                    s.input.mouse_ndc = (
+                        2.0 * (x + 0.5) / vp.width - 1.0,
+                        1.0 - 2.0 * (y + 0.5) / vp.height,
+                    )
             elif event.type == pg.MOUSEBUTTONDOWN:
                 if not self.captured:
                     # Free cursor: paused → UI-page click; in play → the
@@ -138,20 +155,6 @@ class WindowMain:
                         vp.height / 2,
                         0 if event.button == 1 else 1,
                     )
-
-    def _mouselook(self, dx: float, dy: float):
-        s = self.session
-        ch = s.character
-        if ch is None or s.paused:
-            return
-        u = s.universe
-        yaw = float(np.asarray(u.bodies.yaw)[ch.body_index])
-        pitch = float(np.asarray(u.bodies.pitch)[ch.body_index])
-        yaw -= dx * MOUSELOOK_SENSITIVITY
-        pitch = float(
-            np.clip(pitch - dy * MOUSELOOK_SENSITIVITY, -89.0, 89.0)
-        )
-        s.set_look(yaw, pitch)
 
     def _toggle_fly(self):
         import dataclasses

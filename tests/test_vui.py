@@ -1,6 +1,7 @@
 """VUI framework + voxel text tests (reference: ui/src/vui, block/text.rs)."""
 
 import numpy as np
+import pytest
 
 from aic_tpu import block
 from aic_tpu.block.model import Block, BlockAttributes, TextPrimitive
@@ -384,3 +385,51 @@ class TestWidgetControllers:
         assert s.hud.step(s) is False  # same phase: no-op
         pulse.phase = 1
         assert s.hud.step(s) is True  # re-rendered on phase change
+
+
+class TestInputProcessorRichness:
+    """input.rs InputProcessor semantics beyond the binding table."""
+
+    def test_momentary_key_decays(self):
+        from aic_tpu.apps.session import MOMENTARY_HOLD_S, InputState
+
+        inp = InputState()
+        inp.key_momentary("w")
+        assert "w" in inp.keys
+        inp.step(MOMENTARY_HOLD_S / 2)
+        assert "w" in inp.keys  # still virtually held
+        inp.step(MOMENTARY_HOLD_S)
+        assert "w" not in inp.keys  # released by timeout (input.rs:154)
+
+    def test_focus_loss_clears_state(self):
+        from aic_tpu.apps.session import InputState
+
+        inp = InputState()
+        inp.key_down("w")
+        inp.mouselook_delta(10, 0)
+        inp.key_focus(False)
+        assert not inp.keys and inp.turn_buffer == [0.0, 0.0]
+        inp.key_down("a")  # ignored while unfocused
+        assert not inp.keys
+        inp.key_focus(True)
+        inp.key_down("a")
+        assert "a" in inp.keys
+
+    def test_arrow_turning_rate(self):
+        from aic_tpu.apps.session import TURN_RATE_DEG_S, InputState
+
+        inp = InputState()
+        inp.key_down("left")
+        dyaw, dpitch = inp.take_turning(1 / 60)
+        assert dyaw == pytest.approx(TURN_RATE_DEG_S / 60)
+        assert dpitch == 0.0
+
+    def test_mouselook_buffer_consumed_once(self):
+        from aic_tpu.apps.session import MOUSELOOK_SCALE, InputState
+
+        inp = InputState()
+        inp.mouselook_delta(50, -20)
+        dyaw, dpitch = inp.take_turning(1 / 60)
+        assert dyaw == pytest.approx(-50 * MOUSELOOK_SCALE)
+        assert dpitch == pytest.approx(20 * MOUSELOOK_SCALE)
+        assert inp.take_turning(1 / 60) == (0.0, 0.0)  # drained

@@ -93,7 +93,8 @@ def test_capture_and_mouselook(window):
     window.frame(time.monotonic())
     yaw1 = float(np.asarray(s.universe.bodies.yaw)[i])
     pitch1 = float(np.asarray(s.universe.bodies.pitch)[i])
-    assert yaw1 == pytest.approx(yaw0 - 50 * 0.2, abs=1e-6)
+    # Yaw wraps into [0, 360) (input.rs apply_input rem_euclid).
+    assert yaw1 == pytest.approx((yaw0 - 50 * 0.2) % 360.0, abs=1e-6)
     assert pitch1 == pytest.approx(20 * 0.2, abs=1e-6)
     # Esc releases capture without pausing.
     post_key(pygame.K_ESCAPE)
