@@ -84,10 +84,22 @@ def main(argv=None):
     p.add_argument("--duration", type=float, default=1.0, help="headless sim seconds")
     p.add_argument("--lighting", default="smoothstep")
     p.add_argument("--no-relight", action="store_true")
+    # Logging/telemetry (logging.rs LoggingArgs: --verbose,
+    # --simplify-log-format, rerun stream → --telemetry JSONL).
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--simplify-log-format", action="store_true")
+    p.add_argument("--telemetry", default=None, metavar="FILE.jsonl")
     args = p.parse_args(argv)
 
+    from . import logging as aic_logging
     from .light import evaluate_light
     from .raytrace import GraphicsOptions, render, save_png
+
+    aic_logging.install(
+        verbose=args.verbose, simplify_log_format=args.simplify_log_format
+    )
+    log = aic_logging.get_logger("aic_tpu.main")
+    telemetry = aic_logging.Telemetry(args.telemetry) if args.telemetry else None
 
     space = build_template(args.template, args.seed, args.size)
     state = space.snapshot()
@@ -104,10 +116,17 @@ def main(argv=None):
         u = Universe()
         u.insert_space("world", space)
         u.states["world"] = state
+        if telemetry is not None:
+            telemetry.attach_to_universe(u)
+        n_ticks = int(args.duration * 60)
         t0 = time.time()
-        for _ in range(int(args.duration * 60)):
-            info = u.step()
-        print(f"[headless] {info.tick + 1} ticks in {time.time()-t0:.1f}s")
+        with aic_logging.ProgressBar(n_ticks, "step") as bar:
+            for _ in range(n_ticks):
+                info = u.step()
+                bar.advance()
+        log.info("[headless] %d ticks in %.1fs", info.tick + 1, time.time() - t0)
+        if telemetry is not None:
+            telemetry.close()
         return
 
     cam = default_camera(space, args.width, args.height, options)

@@ -403,6 +403,23 @@ class Universe:
                 self.states[name] = st
 
         info.wall_time_s = _time.perf_counter() - t0
+        tele = getattr(self, "telemetry", None)
+        if tele is not None:
+            # Rerun-stream analog (aic_tpu/logging.py Telemetry): one
+            # structured record per step with phase timings.
+            tele.record(
+                "universe_step",
+                tick=info.tick,
+                wall_ms=round(info.wall_time_s * 1000, 3),
+                space_edits=info.space_edits,
+                light_updates=info.light_updates,
+                light_queue=info.light_queue,
+                behaviors=info.behaviors_run,
+                phases={
+                    k: round(v.total_s * 1000, 3)
+                    for k, v in self.profiler.spans.items()
+                },
+            )
         return info
 
     def _run_tick_actions(self, name: str, tick: Tick) -> int:
