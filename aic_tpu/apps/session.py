@@ -256,8 +256,17 @@ class Session:
         else:
             vel[i][0] = target[0]
             vel[i][2] = target[2]
-            if " " in self.input.keys:  # jump
-                vel[i][1] = JUMP_SPEED
+            # Jump only from the ground (character/step.rs:59: input.jump
+            # consumed && is_on_ground — velocity.y <= 0 plus a floor
+            # contact from the previous physics step). Holding the key
+            # re-jumps on landing but never thrusts mid-air.
+            on_ground = (
+                u.on_ground is not None
+                and bool(np.asarray(u.on_ground)[i])
+                and vel[i][1] <= 0.0
+            )
+            if " " in self.input.keys and on_ground:
+                vel[i][1] += JUMP_SPEED
         import jax.numpy as jnp
 
         import dataclasses

@@ -109,6 +109,9 @@ class Universe:
         self.characters: dict[str, Character] = {}
         self.behaviors: list[tuple[str, Behavior, int]] = []  # (host, behavior, wake_tick)
         self.bodies: Optional[Body] = None  # batched device pytree
+        #: bool[n_bodies] from the last physics step (body.rs:309
+        #: is_on_ground input); None before the first step.
+        self.on_ground = None
         self.body_space: list[str] = []  # space per body row
         self.clock = Clock()
         from ..profiling import Profiler
@@ -386,7 +389,13 @@ class Universe:
                 if name is not None:
                     state = self.states[name]
                     gravity = self.spaces[name].physics.gravity
-                    self.bodies, _ = step_bodies(state, self.bodies, tick.dt, gravity)
+                    self.bodies, phys_info = step_bodies(
+                        state, self.bodies, tick.dt, gravity
+                    )
+                    # Ground contacts feed next step's jump gating
+                    # (body.rs:309 is_on_ground reads the PREVIOUS
+                    # step's collision output).
+                    self.on_ground = phys_info["on_ground"]
 
         # Light updates (space/step.rs:338): fixed rounds per tick.
         with prof.span("light"):

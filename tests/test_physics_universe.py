@@ -226,3 +226,155 @@ class TestUniverse:
         y1 = float(np.asarray(u.bodies.position)[ch.body_index][1])
         assert y1 == pytest.approx(1.0, abs=0.01)
         assert y1 < y0
+
+
+class TestJumping:
+    """character/tests.rs jumping + character/step.rs:59 jump gating."""
+
+    def _session_on_floor(self):
+        from aic_tpu import block
+        from aic_tpu.apps.session import Session
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.raytrace import Viewport
+        from aic_tpu.space import Space
+        from aic_tpu.universe import Universe
+
+        sp = Space(GridAab.from_lower_size((-2, 0, -2), (5, 4, 5)))
+        sp.fill(
+            GridAab.from_lower_size((-2, 0, -2), (5, 1, 5)),
+            block.from_color((1, 1, 1, 1)),
+        )
+        u = Universe()
+        u.light_rounds_per_tick = 0
+        u.insert_space("w", sp)
+        u.insert_character("player", "w", (0.5, 1.6, 0.5))
+        s = Session(u, viewport=Viewport(8, 8))
+        # settle onto the floor
+        for _ in range(20):
+            u.step()
+        return s, u
+
+    def test_jump_only_from_ground(self):
+        import numpy as np
+
+        s, u = self._session_on_floor()
+        i = s.character.body_index
+        assert bool(np.asarray(u.on_ground)[i]), "should be standing"
+        s.input.key_down(" ")
+        s.apply_input()
+        u.step()
+        v1 = float(np.asarray(u.bodies.velocity)[i][1])
+        assert v1 > 0.0, "jump should launch upward"
+        # Second jump input mid-air must NOT add velocity
+        # (character/tests.rs jumping: second input is a no-op).
+        s.apply_input()
+        u.step()
+        v2 = float(np.asarray(u.bodies.velocity)[i][1])
+        assert v2 < v1, "no mid-air thrust; gravity decelerates"
+
+    def test_landing_allows_rejump(self):
+        import numpy as np
+
+        s, u = self._session_on_floor()
+        i = s.character.body_index
+        s.input.key_down(" ")
+        s.apply_input()
+        u.step()
+        s.input.key_up(" ")
+        # Fall back to the floor.
+        for _ in range(120):
+            u.step()
+            if bool(np.asarray(u.on_ground)[i]):
+                break
+        assert bool(np.asarray(u.on_ground)[i]), "should land again"
+        s.input.key_down(" ")
+        s.apply_input()
+        assert float(np.asarray(u.bodies.velocity)[i][1]) > 0.0
+
+
+class TestBehaviorScheduling:
+    """behavior.rs sleep_and_wake / dropped_when_requested, on our
+    Behavior protocol (step -> (txn, then) with int sleep / 'drop')."""
+
+    def _universe(self):
+        from aic_tpu import block
+        from aic_tpu.math.grid import GridAab
+        from aic_tpu.space import Space
+        from aic_tpu.universe import Universe
+
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (2, 2, 2)))
+        u = Universe()
+        u.light_rounds_per_tick = 0
+        u.insert_space("w", sp)
+        return u
+
+    def test_sleep_and_wake(self):
+        from aic_tpu.universe.universe import Behavior
+
+        runs = []
+
+        class Sleeper(Behavior):
+            def step(self, universe, host, tick):
+                runs.append(tick.ticks)
+                return None, 5  # sleep 5 ticks (Then::Sleep + waker)
+
+        u = self._universe()
+        u.add_behavior("w", Sleeper())
+        for _ in range(12):
+            u.step()
+        # Ran at tick 0, then not again until wake at tick >= 5.
+        assert runs[0] == 0
+        assert len(runs) >= 2
+        assert runs[1] >= 5, f"woke early: {runs}"
+
+    def test_dropped_when_requested(self):
+        from aic_tpu.universe.universe import Behavior
+
+        runs = []
+
+        class Once(Behavior):
+            def step(self, universe, host, tick):
+                runs.append(tick.ticks)
+                return None, "drop"
+
+        u = self._universe()
+        u.add_behavior("w", Once())
+        for _ in range(4):
+            u.step()
+        assert runs == [0], "behavior must run once then detach"
+
+    def test_self_modifying_behavior_edits_space(self):
+        """behavior.rs self_transaction analog: a behavior that emits a
+        space transaction each step and mutates its own state."""
+        import numpy as np
+
+        from aic_tpu import block
+        from aic_tpu.universe.transaction import (
+            SpaceTransaction,
+            UniverseTransaction,
+        )
+        from aic_tpu.universe.universe import Behavior
+
+        class Painter(Behavior):
+            def __init__(self):
+                self.x = 0
+
+            def step(self, universe, host, tick):
+                if self.x >= 2:
+                    return None, "drop"
+                txn = UniverseTransaction()
+                txn.spaces[host] = SpaceTransaction.set_cube(
+                    (self.x, 0, 0),
+                    new=block.from_color((0.2, 0.4, 0.8, 1.0)),
+                    conserved=False,
+                )
+                self.x += 1
+                return txn, "step"
+
+        u = self._universe()
+        u.add_behavior("w", Painter())
+        for _ in range(4):
+            u.step()
+        sp = u.spaces["w"]
+        assert (np.asarray(sp.contents)[0:2, 0, 0] != 0).all()
+        assert len(u.behaviors) == 0  # dropped after finishing
