@@ -315,7 +315,6 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     behavior at resolution granularity).
     """
     r = primitive.resolution
-    budget.spend_voxels(r * r * r)
     space = primitive.space
     out = Evoxels.air(resolution=r)
     lx, ly, lz = primitive.offset
@@ -326,8 +325,13 @@ def _evaluate_recur(primitive: model.Recur, budget: _Budget, depth: int) -> Evox
     upper = lower + np.asarray(space.bounds.size, np.int64)
     lo = np.maximum([lx, ly, lz], lower)
     hi = np.minimum([lx + r, ly + r, lz + r], upper)
+    # Cost = the occupied region only (block.rs:698-704 charges
+    # occupied_bounds.volume(), the block∩space intersection) — so a
+    # sparse R128 block like the Smallest exhibit fits the default
+    # budget exactly as in the reference.
     if (hi <= lo).any():
         return out
+    budget.spend_voxels(int(np.prod(hi - lo)))
     # Only completed palette entries have evaluations: during a cyclic
     # load/eval the entry being interned right now has no row yet (the
     # old per-cube path never touched it because contents cannot

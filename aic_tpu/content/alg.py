@@ -138,3 +138,87 @@ def make_tree(space, base, height: int, rng=None, leaves=None, log=None) -> None
                 cube = (bx + dx, by + y, bz + dz)
                 if space.bounds.contains_cube(cube) and space.block_at(cube) == AIR:
                     space.set(cube, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Image → block (reference: all-is-cubes/src/content/load_image.rs)
+
+
+def default_srgb_brush(pixel):
+    """load_image.rs:251 `default_srgb`: zero-alpha pixels become AIR (so
+    collision/selection match expectations); others a solid sRGB atom."""
+    from ..math.color import np_srgb8_to_linear
+    from ..space.drawing import VoxelBrush
+
+    r, g, b, a = (int(v) for v in pixel)
+    if a == 0:
+        return VoxelBrush.single(AIR)
+    rgb = np_srgb8_to_linear(np.array([r, g, b]))
+    return VoxelBrush.single(
+        Block(Atom(color=(float(rgb[0]), float(rgb[1]), float(rgb[2]), a / 255.0)))
+    )
+
+
+def space_from_image(image: np.ndarray, rotation: int, pixel_function=None):
+    """u8[H,W,4] sRGB image → Space, one brush stamp per pixel.
+
+    Reference: load_image.rs:167 `space_from_image` — pixel (x, y) of the
+    image (y flipped so the image reads upright) lands at the rotated
+    position of (x, y, 0), with the rotation shifted to the positive
+    octant (`to_positive_octant_transform`); the brush itself is NOT
+    rotated (callers rotate their brushes, exhibits/images.rs)."""
+    from ..math.grid import ROTATION_MATRICES
+    from ..space import Space
+
+    if pixel_function is None:
+        pixel_function = default_srgb_brush
+    h, w = image.shape[:2]
+    edge = max(h, w)
+    m = ROTATION_MATRICES[rotation]
+    # Positive-octant shift for cube coords: axes fed by a negative basis
+    # image get offset edge-1 (rotation.rs to_positive_octant_transform).
+    t = np.where(m.sum(axis=1) < 0, edge - 1, 0)
+
+    # Bounds = transform of the image slab, expanded by brush extents.
+    corners = []
+    for cx in (0, w - 1):
+        for cy in (0, h - 1):
+            corners.append(m @ np.array([cx, cy, 0]) + t)
+    corners = np.array(corners)
+    lo, hi = corners.min(0), corners.max(0) + 1
+    # Brush extents across all pixels (minkowski_sum role).
+    brushes = {}
+    for r in range(h):
+        for c in range(w):
+            pix = tuple(int(v) for v in image[r, c])
+            if pix not in brushes:
+                brushes[pix] = pixel_function(pix)
+    offs = np.array(
+        [p for br in brushes.values() for (p, _) in br.points] or [(0, 0, 0)]
+    )
+    lo = lo + np.minimum(offs.min(0), 0)
+    hi = hi + np.maximum(offs.max(0), 0)
+    space = Space(GridAab.from_lower_upper(tuple(lo), tuple(hi)))
+    for r in range(h):
+        for c in range(w):
+            pix = tuple(int(v) for v in image[r, c])
+            pos = m @ np.array([c, h - 1 - r, 0]) + t
+            brushes[pix].paint(space, tuple(pos))
+    return space
+
+
+def block_from_image(
+    image: np.ndarray, rotation: int, pixel_function=None, display_name: str = ""
+) -> Block:
+    """Square u8[R,R,4] image → resolution-R voxel block
+    (load_image.rs:222 `block_from_image`)."""
+    from ..block import BlockAttributes, Recur
+
+    h, w = image.shape[:2]
+    if h != w or w & (w - 1) or w > 128:
+        raise ValueError(f"image must be square pow2 ≤128, got {w}x{h}")
+    sp = space_from_image(image, rotation, pixel_function)
+    return Block(
+        Recur(space=sp, resolution=w),
+        attributes=BlockAttributes(display_name=display_name),
+    )

@@ -113,6 +113,10 @@ def demo_city(seed: int = 0, size: int = 96, height: int = 24) -> Space:
     row_z = 7
     row_depth = 0
     for exhibit in EXHIBITS:
+        if exhibit.heavy:
+            # Shared-snapshot cost guard (Exhibit.heavy docstring): R128
+            # exhibits pad the whole city's voxel table; shown standalone.
+            continue
         ex_sp = exhibit.factory()  # built once; placed below
         sp_size = ex_sp.bounds.size
         if ex_x + sp_size[0] >= half - 2:

@@ -23,6 +23,7 @@ from ..block import (
     AIR,
     Atom,
     Block,
+    BlockAttributes,
     Composite,
     Move,
     Recur,
@@ -32,18 +33,24 @@ from ..block import (
 )
 from ..block import from_color
 from ..math import faces
-from ..math.grid import GridAab, ROTATION_MATRICES
+from ..math.grid import GridAab, ROTATION_MATRICES, rotation_from_name
 from ..space import Sky, Space, SpacePhysics
 from ..universe import Become
 
 
 @dataclass(frozen=True)
 class Exhibit:
-    """exhibit.rs:11 Exhibit: name + subtitle + factory."""
+    """exhibit.rs:11 Exhibit: name + subtitle + factory.
+
+    `heavy` marks exhibits whose palette would blow up a shared snapshot
+    (the voxel table pads every entry to the max resolution, so one R128
+    block in the demo city would cost 64 MiB × every voxel entry);
+    demo_city skips them — they are still built/rendered standalone."""
 
     name: str
     subtitle: str
     factory: Callable[[], Space]
+    heavy: bool = False
 
 
 def _exhibit_space(size, sky=(0.8, 0.8, 0.8)) -> Space:
@@ -575,6 +582,251 @@ def inventory_exhibit() -> Space:
     return sp
 
 
+def chunking_exhibit() -> Space:
+    """exhibits/chunking.rs CHUNK_CHART: ChunkChart::<16>::new(16*4.99)
+    visualization — one translucent cube per chunk in view, showing the
+    rounded view volume the mesh updater walks."""
+    from ..math.chunking import ChunkChart
+
+    chart = ChunkChart(16.0 * 4.99, chunk_size=16)
+    offsets = chart.chunks()  # i32[N,3] chunk offsets, near-to-far
+    r = int(np.abs(offsets).max()) + 1
+    sp = _exhibit_space((2 * r + 1, 2 * r + 1, 2 * r + 1))
+    shell = from_color((0.4, 0.7, 1.0, 0.25), "chunk")
+    core = from_color((1.0, 0.85, 0.2, 1.0), "chunk-origin")
+    # Only the boundary chunks are drawn opaque-ish; interior stays air so
+    # the volume reads as a shell (visualization(), chunking.rs).
+    occupied = np.zeros((2 * r + 1,) * 3, bool)
+    occupied[tuple((offsets + r).T)] = True
+    for off in offsets:
+        x, y, z = (int(v) for v in off + r)
+        neighbors = [
+            (x + dx, y + dy, z + dz)
+            for dx, dy, dz in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                               (0, 0, 1), (0, 0, -1))
+        ]
+        on_shell = any(
+            not (
+                0 <= nx < occupied.shape[0]
+                and 0 <= ny < occupied.shape[1]
+                and 0 <= nz < occupied.shape[2]
+            )
+            or not occupied[nx, ny, nz]
+            for nx, ny, nz in neighbors
+        )
+        if on_shell:
+            sp.set((x, y, z), shell)
+    sp.set((r, r, r), core)
+    return sp
+
+
+def _slab_block(height_voxels: int, resolution: int) -> Block:
+    """A bottom slab filling height_voxels/resolution of the cube
+    (make_slab role, content/blocks in the reference)."""
+    vox = Space(GridAab.from_lower_size((0, 0, 0), (resolution,) * 3))
+    mat = from_color((0.75, 0.75, 0.7, 1.0), f"slab {height_voxels}/{resolution}")
+    for y in range(min(height_voxels, resolution)):
+        for x in range(resolution):
+            for z in range(resolution):
+                vox.set((x, y, z), mat)
+    return Block(Recur(space=vox, resolution=resolution))
+
+
+def _rotation_py_to(direction) -> int:
+    """Index of a proper rotation (det=+1) mapping +Y to `direction`
+    (GridRotation::from_to role, rotation.rs)."""
+    target = np.asarray(direction, np.int32)
+    y = np.array([0, 1, 0], np.int32)
+    for i, m in enumerate(ROTATION_MATRICES):
+        if int(np.round(np.linalg.det(m))) == 1 and (m @ y == target).all():
+            return i
+    raise ValueError(f"no rotation maps +Y to {direction}")
+
+
+def collision_exhibit() -> Space:
+    """exhibits/collision.rs COLLISION: half-slabs rotated so their flat
+    side faces each compass offset (a 3×3 ring), plus a staircase of
+    slabs of decreasing height — the character-vs-voxel-collision test
+    floor."""
+    sp = _exhibit_space((7, 3, 6))
+    half = _slab_block(2, 4)
+    for dx in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            if dx == 0 and dz == 0:
+                rot = rotation_from_name("RXyZ")  # upside down
+            elif dx != 0 and dz != 0:
+                continue  # diagonal offsets aren't faces: identity slot skipped
+            else:
+                rot = _rotation_py_to((dx, 0, dz))
+            sp.set((2 + dx, 1, 2 + dz), half.with_modifier(Rotate(rot)))
+    # Staircase: slab height 4/4 down to 1/4 along z.
+    for i in range(4):
+        sp.set((5, 1, 1 + i), _slab_block(4 - i, 4))
+    return sp
+
+
+def _terrain_image(edge: int = 16) -> np.ndarray:
+    """A procedural stand-in for the reference's terrain-image.png asset
+    (we do not copy assets): sky gradient over a green hill with a brown
+    cave mouth; alpha-0 pixels in the top corners exercise the AIR rule."""
+    img = np.zeros((edge, edge, 4), np.uint8)
+    rr = np.arange(edge)
+    hill = (edge * 0.55 + (edge * 0.2) * np.sin(rr / edge * 3.2)).astype(int)
+    for c in range(edge):
+        for r in range(edge):
+            y = edge - 1 - r  # image row 0 is the top
+            if y > hill[c]:
+                img[r, c] = (120, 170, 230, 255)  # sky
+            elif y == hill[c]:
+                img[r, c] = (60, 160, 40, 255)  # grass lip (green > blue)
+            else:
+                img[r, c] = (110, 80, 40, 255)  # earth
+    img[0, 0] = img[0, edge - 1] = (0, 0, 0, 0)  # transparent corners
+    img[edge // 2 : edge // 2 + 3, edge // 2 : edge // 2 + 3] = (30, 20, 10, 255)
+    return img
+
+
+def images_exhibit() -> Space:
+    """exhibits/images.rs IMAGES: block_from_image() of the terrain image
+    under rotations RXYZ, RXyZ, RXZY, RxYZ; green-dominant pixels get a
+    thickness-2 brush (rotated with the block) so the grass lip sticks
+    out of the slab."""
+    from .alg import block_from_image, default_srgb_brush
+    from ..space.drawing import VoxelBrush
+
+    sp = _exhibit_space((9, 3, 3))
+    for i, name in enumerate(("RXYZ", "RXyZ", "RXZY", "RxYZ")):
+        rot = rotation_from_name(name)
+        m = ROTATION_MATRICES[rot]
+
+        def pixel_fn(pixel, m=m):
+            r, g, b, a = pixel
+            if (r > b or g > b) and a > 0:
+                base = default_srgb_brush(pixel)
+                block = base.points[0][1]
+                return VoxelBrush(
+                    tuple((tuple(m @ np.array([0, 0, dz])), block) for dz in (0, 1))
+                )
+            return default_srgb_brush(pixel)
+
+        sp.set(
+            (1 + 2 * i, 1, 1),
+            block_from_image(_terrain_image(), rot, pixel_fn, display_name=name),
+        )
+    return sp
+
+
+def make_some_blocks_exhibit() -> Space:
+    """exhibits/make_some_blocks.rs: rows of make_some_blocks::<5..1>()
+    atoms facing their voxel-block counterparts."""
+    from .testing import make_some_blocks, make_some_voxel_blocks
+
+    rows = 5
+    sp = _exhibit_space((3, rows, rows))
+    for y in range(rows):
+        n = rows - y
+        atoms = make_some_blocks(n)
+        voxels = make_some_voxel_blocks(n)
+        for h in range(n):
+            sp.set((0, y, h), atoms[h])
+            sp.set((2, y, h), voxels[h])
+    return sp
+
+
+def misc_exhibit() -> Space:
+    """exhibits/misc.rs MISC_BLOCKS: the demo Crate and Greebly blocks on
+    their own pedestal (odd blocks that fit nowhere else)."""
+    res = 16
+    # Crate: plank box with corner posts and an X brace on each face.
+    plank = from_color((0.72, 0.5, 0.25, 1.0))
+    post = from_color((0.5, 0.33, 0.15, 1.0))
+    vox = Space(GridAab.from_lower_size((0, 0, 0), (res,) * 3))
+    for x in range(res):
+        for y in range(res):
+            for z in range(res):
+                edges = sum(c in (0, res - 1) for c in (x, y, z))
+                if edges >= 2:
+                    vox.set((x, y, z), post)
+                elif edges == 1:
+                    diag = abs(x - y) <= 1 or abs(y - z) <= 1 or abs(x - z) <= 1 \
+                        or abs(x + y - res + 1) <= 1 or abs(y + z - res + 1) <= 1 \
+                        or abs(x + z - res + 1) <= 1
+                    vox.set((x, y, z), post if diag else plank)
+    crate = Block(Recur(space=vox, resolution=res))
+
+    # Greebly: an asymmetric gadget of pipes and fins.
+    metal = from_color((0.45, 0.5, 0.55, 1.0))
+    accent = from_color((0.8, 0.3, 0.1, 1.0))
+    gv = Space(GridAab.from_lower_size((0, 0, 0), (res,) * 3))
+    for y in range(res):
+        gv.set((res // 2, y, res // 2), metal)
+    for x in range(2, res - 2):
+        gv.set((x, res // 2, res // 2), metal)
+        if x % 3 == 0:
+            for dy in range(1, 4):
+                gv.set((x, res // 2 + dy, res // 2), accent)
+    for z in range(4, res - 4):
+        gv.set((res // 2, 4, z), metal)
+    greebly = Block(Recur(space=gv, resolution=res))
+
+    sp = _exhibit_space((4, 3, 3))
+    sp.set((1, 1, 1), crate)
+    sp.set((2, 1, 1), greebly)
+    return sp
+
+
+def smallest_exhibit() -> Space:
+    """exhibits/smallest.rs SMALLEST: "World's Smallest Voxel" — a single
+    voxel at Resolution::MAX = R128 (1/128th of a block edge), centered on
+    the cube floor. The backing space is one cube at offset (64, 0, 64)
+    within the R128 grid, exactly like the reference."""
+    r = 128
+    vox = Space(GridAab.from_lower_size((r // 2, 0, r // 2), (1, 1, 1)))
+    vox.set((r // 2, 0, r // 2), from_color((0.04, 0.04, 0.04, 1.0)))
+    block = Block(
+        Recur(space=vox, resolution=r),
+        attributes=BlockAttributes(display_name="World's Smallest Voxel"),
+    )
+    sp = _exhibit_space((1, 2, 1))
+    sp.set((0, 0, 0), block)
+    return sp
+
+
+def ui_blocks_exhibit() -> Space:
+    """exhibits/ui.rs UI_BLOCKS + UI_PROGRESS_BAR: the UI system's blocks
+    laid out for inspection — tool icons, widget furniture (frame, button,
+    crosshair, toolbar), and a column of progress bars at 0..100%."""
+    from ..universe.cursor import Activate, PlaceBlock, RemoveBlock, Stack, tool_icon
+    from ..vui.widgets import Button, Crosshair, Frame, ProgressBar
+
+    sp = _exhibit_space((8, 6, 2))
+
+    # Icons row: tool icons (inv::Icons provider role) — PlaceBlock shows
+    # its block; intrinsic-iconless tools render as labeled buttons.
+    tools = [
+        Stack(PlaceBlock(from_color((0.8, 0.2, 0.2, 1.0), "red")), 10),
+        Stack(PlaceBlock(from_color((0.2, 0.4, 0.9, 1.0), "blue")), 1),
+        RemoveBlock(),
+        Activate(),
+    ]
+    col = 0
+    for t in tools:
+        icon = tool_icon(t)
+        if icon is not None:
+            sp.set((col, 4, 0), icon)
+            col += 1
+
+    # Widget furniture drawn straight into the exhibit space.
+    Crosshair().draw(sp, (col + 1, 4, 0))
+    Frame(width=3, height=1).draw(sp, (0, 3, 0))
+    Button(text="OK").draw(sp, (4, 3, 0))
+
+    # Progress bars at 0/50/100% (UI_PROGRESS_BAR column).
+    for i, fraction in enumerate((0.0, 0.5, 1.0)):
+        ProgressBar(fraction=fraction, width=5).draw(sp, (1, i, 1))
+    return sp
+
+
 EXHIBITS: tuple[Exhibit, ...] = (
     Exhibit("Transparency", "Alpha blending of surfaces", transparency_exhibit),
     Exhibit("Composite", "Porter-Duff block combination", composite_exhibit),
@@ -593,6 +845,15 @@ EXHIBITS: tuple[Exhibit, ...] = (
         "Glass", "Depth sorting and blending", transparency_structure_exhibit
     ),
     Exhibit("Inventory", "Modifier::Inventory trays", inventory_exhibit),
+    Exhibit("ChunkChart", "World chunks in view at 4.99", chunking_exhibit),
+    Exhibit("Collision", "Character/world collision floor", collision_exhibit),
+    Exhibit("Images", "block_from_image() rotations", images_exhibit),
+    Exhibit("Blocks", "make_some_blocks() test sets", make_some_blocks_exhibit),
+    Exhibit("Misc", "Crate and greebly", misc_exhibit),
+    Exhibit(
+        "Smallest", "1/128th of a block", smallest_exhibit, heavy=True
+    ),
+    Exhibit("UI Blocks", "Icons, widgets, progress", ui_blocks_exhibit),
 )
 
 

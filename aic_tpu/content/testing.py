@@ -98,3 +98,47 @@ def light_bench_space(requested_size=(54, 16, 54)) -> Space:
 
     space.fast_evaluate_light()
     return space
+
+
+def make_some_blocks(n: int) -> list[Block]:
+    """N distinct fully-opaque atom blocks for tests/demos.
+
+    Reference: all-is-cubes/src/content.rs:46 `make_some_blocks` — block i
+    is a grayscale of luminance i/(n-1) named by its index."""
+    out = []
+    for i in range(n):
+        lum = i / (n - 1) if n > 1 else 0.5
+        out.append(from_color((lum, lum, lum, 1.0), str(i)))
+    return out
+
+
+def make_some_voxel_blocks(n: int, resolution: int = 16) -> list[Block]:
+    """N distinct R16 voxel blocks: a filled grayscale cube with the
+    block's index drawn on the front face.
+
+    Reference: all-is-cubes/src/content.rs:81 `make_some_voxel_blocks_txn`
+    (filled color + centered digit label; we draw the digit with the
+    builtin voxel font instead of the text-primitive plumbing)."""
+    from ..block import Recur
+    from ..block.model import BlockAttributes
+    from ..space.drawing import draw_text_line
+
+    out = []
+    for i in range(n):
+        lum = i / (n - 1) if n > 1 else 0.5
+        vox = Space(GridAab.cube(resolution))
+        vox.fill(vox.bounds, from_color((lum, lum, lum, 1.0)))
+        label_lum = 1.0 if lum < 0.5 else 0.04
+        draw_text_line(
+            vox,
+            str(i),
+            (resolution // 2 - 2, resolution // 2 - 4, resolution - 1),
+            color=(label_lum, label_lum, label_lum, 1.0),
+        )
+        out.append(
+            Block(
+                Recur(space=vox, resolution=resolution),
+                attributes=BlockAttributes(display_name=str(i)),
+            )
+        )
+    return out

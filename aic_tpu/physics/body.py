@@ -176,11 +176,22 @@ def _push_out(state: SpaceState, body: Body) -> Body:
     def clear_at(d, t):
         return ~colliding_at(state, pos + d * t, box_lo, box_hi)
 
-    def per_dir(d, ok):
-        clear = jax.vmap(lambda t: clear_at(d, t))(ts)  # [S]
-        any_clear = ok & clear.any()
-        k = jnp.argmax(clear)  # first clear sample
-        t_hi0 = ts[k]
+    def per_dir(d_ok):
+        d, ok = d_ok
+        # Samples march sequentially: each colliding_at materializes the
+        # full 125·R³ voxel-box window, so vmapping positions multiplies
+        # that window by S (and by 27 under the direction map) — the
+        # [27,S,125,R³,3] temp OOMed a 16G chip on demo-city (R=32).
+        def scan_clear(k, acc):
+            first_clear, found = acc
+            c = clear_at(d, ts[k])
+            first_clear = jnp.where(c & ~found, ts[k], first_clear)
+            return first_clear, found | c
+
+        t_hi0, any_clear = jax.lax.fori_loop(
+            0, _PUSH_SAMPLES, scan_clear, (ts[-1], jnp.asarray(False))
+        )
+        any_clear = any_clear & ok
         t_lo0 = t_hi0 - _PUSH_STEP
 
         def bisect(_, lohi):
@@ -193,7 +204,10 @@ def _push_out(state: SpaceState, body: Body) -> Body:
         t_final = t_hi1 + POSITION_EPSILON
         return jnp.where(any_clear, t_final, jnp.inf)
 
-    dists = jax.vmap(per_dir)(unit, usable)  # [27]
+    # Directions run SEQUENTIALLY (lax.map, one window live at a time) for
+    # the same memory reason; push_out is the rare recovery path, so the
+    # latency is paid only when a body is stuck inside matter.
+    dists = jax.lax.map(per_dir, (unit, usable))  # [27]
     best = jnp.argmin(dists)
     found = jnp.isfinite(dists[best])
     new_pos = jnp.where(

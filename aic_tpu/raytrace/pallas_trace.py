@@ -221,8 +221,12 @@ def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
         l1row = jnp.broadcast_to(l1_ref[0:1, :], GROUP)
 
         def body(carry):
-            (it, dom, cx, cy, cz, tmx, tmy, tmz, walking,
+            # `walking` rides the loop carry as i32: Mosaic fails to
+            # legalize scf.yield with vector<8x128xi1> operands (measured
+            # on v5e: "failed to legalize operation 'scf.yield'").
+            (it, dom, cx, cy, cz, tmx, tmy, tmz, walking_i,
              hit, face, ht, hnt, hx, hy, hz) = carry
+            walking = walking_i == 1
 
             inner = dom >= n_regions
             # ---- L1 macro step through empty regions (outer rays) -----
@@ -363,11 +367,12 @@ def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
                 st = fine_step(st)
             (dom, cx, cy, cz, tmx, tmy, tmz, walking,
              hit, face, ht, hnt, hx, hy, hz) = st
-            return (it + 1, dom, cx, cy, cz, tmx, tmy, tmz, walking,
+            return (it + 1, dom, cx, cy, cz, tmx, tmy, tmz,
+                    walking.astype(jnp.int32),
                     hit, face, ht, hnt, hx, hy, hz)
 
         def cond(carry):
-            return (carry[0] < max_iters) & carry[8].any()
+            return (carry[0] < max_iters) & (carry[8] == 1).any()
 
         zi = jnp.zeros(GROUP, jnp.int32)
         zf = jnp.zeros(GROUP, jnp.float32)
@@ -375,11 +380,12 @@ def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
             jnp.int32(0),
             dom_ref[:], cx_ref[:], cy_ref[:], cz_ref[:],
             tmx_ref[:], tmy_ref[:], tmz_ref[:],
-            walking_ref[:] != 0,
+            walking_ref[:],
             zi, zi, zf, zf, zi, zi, zi,
         )
-        (_, dom, cx, cy, cz, tmx, tmy, tmz, walking,
+        (_, dom, cx, cy, cz, tmx, tmy, tmz, walking_i,
          hit, face, ht, hnt, hx, hy, hz) = jax.lax.while_loop(cond, body, init)
+        walking = walking_i == 1
         o_dom[:] = dom
         o_cx[:] = cx
         o_cy[:] = cy

@@ -88,7 +88,12 @@ def _relight_reference_ratio(extra):
 
 
 def run_suite(smoke: bool = False):
-    """Measure everything; `smoke` shrinks shapes for the CPU platform."""
+    """Measure everything; `smoke` shrinks shapes for the CPU platform.
+
+    Every section is fault-isolated: a failure records
+    `extra["<section>_error"]` and the suite carries on, so one bad
+    kernel/scene can never erase the rest of the round's numbers (the
+    r3 demo-city physics OOM cost an entire bench run this way)."""
     from aic_tpu.content import atrium, cornell_box
     from aic_tpu.content.template import TemplateParameters, build_universe
     from aic_tpu.content.testing import light_bench_space
@@ -97,88 +102,130 @@ def run_suite(smoke: bool = False):
     from aic_tpu.raytrace.tracer import trace_rays
 
     extra = {}
+    cornell_state = None
+
+    def section(name, fn):
+        t0 = time.perf_counter()
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - recorded, not hidden
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            return None
+        finally:
+            print(
+                f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
     # --- relight metrics (BASELINE config 2) -----------------------------
     relight_cases = (
-        [("cornell32", cornell_box(16 if smoke else 32))]
+        [("cornell32", lambda: cornell_box(16 if smoke else 32))]
         if smoke
-        else [("cornell32", cornell_box(32)), ("light_bench", light_bench_space())]
+        else [
+            ("cornell32", lambda: cornell_box(32)),
+            ("light_bench", light_bench_space),
+        ]
     )
-    for name, space in relight_cases:
-        state = space.snapshot()
-        n_cubes = int(np.prod(state.contents.shape))
-        ctx = build_relight_ctx(state)
-        warm, _ = evaluate_light_dense(state, max_passes=1, ctx=ctx)
-        _sync(warm.light)
-        t0 = time.perf_counter()
-        lit, passes = evaluate_light_dense(state, ctx=ctx)
-        _sync(lit.light)
-        dt = time.perf_counter() - t0
-        extra[f"relight_{name}_s"] = round(dt, 3)
-        extra[f"relight_{name}_passes"] = passes
-        extra[f"relight_{name}_cube_updates_per_s"] = round(n_cubes * passes / dt)
-        if name == "cornell32":
+    for name, make_space in relight_cases:
+        def relight_case(name=name, make_space=make_space):
+            state = make_space().snapshot()
+            n_cubes = int(np.prod(state.contents.shape))
+            ctx = build_relight_ctx(state)
+            warm, _ = evaluate_light_dense(state, max_passes=1, ctx=ctx)
+            _sync(warm.light)
+            t0 = time.perf_counter()
+            lit, passes = evaluate_light_dense(state, ctx=ctx)
+            _sync(lit.light)
+            dt = time.perf_counter() - t0
+            extra[f"relight_{name}_s"] = round(dt, 3)
+            extra[f"relight_{name}_passes"] = passes
+            extra[f"relight_{name}_cube_updates_per_s"] = round(
+                n_cubes * passes / dt
+            )
+            return lit
+
+        lit = section(f"relight_{name}", relight_case)
+        if name == "cornell32" and lit is not None:
             cornell_state = lit
     if not smoke:
-        _relight_reference_ratio(extra)
+        section("relight_reference", lambda: _relight_reference_ratio(extra))
 
     # --- cornell 256² trace (BASELINE config 1) ---------------------------
     opts = GraphicsOptions(
         lighting_display="smoothstep", fog="none", transparency="surface"
     )
-    res = 64 if smoke else 256
-    cam = Camera(opts, Viewport(res, res))
-    box = 16 if smoke else 32
-    cam.look_at(np.array([0.5, 0.5, 1.6]) * box, (box / 2,) * 3)
-    o, d = cam.pixel_rays()
-    dt = _time(lambda: trace_rays(cornell_state, o, d, opts)[0], n=3 if smoke else 10)
-    extra[f"raytrace_cornell{res}_mrays"] = round(res * res / dt / 1e6, 3)
+
+    def cornell_trace():
+        res = 64 if smoke else 256
+        cam = Camera(opts, Viewport(res, res))
+        box = 16 if smoke else 32
+        cam.look_at(np.array([0.5, 0.5, 1.6]) * box, (box / 2,) * 3)
+        o, d = cam.pixel_rays()
+        dt = _time(
+            lambda: trace_rays(cornell_state, o, d, opts)[0], n=3 if smoke else 10
+        )
+        extra[f"raytrace_cornell{res}_mrays"] = round(res * res / dt / 1e6, 3)
+
+    if cornell_state is not None:
+        section("cornell_trace", cornell_trace)
 
     # --- demo-city step loop (BASELINE config 3: 60 Hz budget) ------------
-    if not smoke:
+    def demo_city_step():
         u = build_universe("demo-city", TemplateParameters(seed=0))
         for _ in range(3):  # warm compile caches (physics + light kernels)
             u.step()
         t0 = time.perf_counter()
         n_steps = 30
         for _ in range(n_steps):
-            info = u.step()
+            u.step()
         _sync(next(iter(u.states.values())).light)
         extra["step_demo_city_ms"] = round(
             (time.perf_counter() - t0) / n_steps * 1e3, 2
         )
         extra["step_demo_city_60hz"] = extra["step_demo_city_ms"] <= 16.6
 
-    # --- headline: atrium 1080p (north star, BASELINE config 4) ----------
-    space = atrium(width=24, depth=16, floors=2) if smoke else atrium()
-    state = space.snapshot()
-    state, _ = evaluate_light_dense(state)
-    w, h = (192, 108) if smoke else (1920, 1080)
-    cam = Camera(opts, Viewport(w, h))
-    sz = np.asarray(state.contents.shape, np.float64)
-    lo = np.asarray(state.lower, np.float64)
-    cam.look_at(lo + sz * np.array([0.5, 0.75, 0.9]), lo + sz / 2)
-    o, d = cam.pixel_rays()
-    dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=2 if smoke else 5)
-    mrays = w * h / dt / 1e6
-    extra["atrium_frame_ms"] = round(dt * 1e3, 1)
-
-    # --- Pallas region-synchronous tracer (PERF.md roadmap item 2) -------
-    # Compiled-mode attempt; Mosaic rejections or unsupported shapes are
-    # recorded, not fatal (the kernel is interpret-mode-verified either way
-    # — tests/test_pallas_trace.py).
     if not smoke:
-        try:
+        section("step_demo_city", demo_city_step)
+
+    # --- headline: atrium 1080p (north star, BASELINE config 4) ----------
+    def atrium_headline():
+        space = atrium(width=24, depth=16, floors=2) if smoke else atrium()
+        state = space.snapshot()
+        state, _ = evaluate_light_dense(state)
+        w, h = (192, 108) if smoke else (1920, 1080)
+        cam = Camera(opts, Viewport(w, h))
+        sz = np.asarray(state.contents.shape, np.float64)
+        lo = np.asarray(state.lower, np.float64)
+        cam.look_at(lo + sz * np.array([0.5, 0.75, 0.9]), lo + sz / 2)
+        o, d = cam.pixel_rays()
+        dt = _time(lambda: trace_rays(state, o, d, opts)[0], n=2 if smoke else 5)
+        extra["atrium_frame_ms"] = round(dt * 1e3, 1)
+        return w * h / dt, state, o, d, w, h
+
+    res = section("atrium", atrium_headline)
+    mrays = 0.0
+    if res is not None:
+        mrays_raw, state, o, d, w, h = res
+        mrays = mrays_raw / 1e6
+
+        # --- Pallas region-synchronous tracer (PERF.md roadmap item 2) ---
+        # Compiled-mode attempt; Mosaic rejections or unsupported shapes
+        # are recorded, not fatal (the kernel is interpret-mode-verified
+        # either way — tests/test_pallas_trace.py).
+        def pallas_tracer():
+            nonlocal mrays
             from aic_tpu.raytrace.pallas_trace import trace_rays_pallas
 
             dt_p = _time(lambda: trace_rays_pallas(state, o, d, opts)[0], n=5)
             extra["atrium_pallas_mrays"] = round(w * h / dt_p / 1e6, 3)
             extra["atrium_pallas_frame_ms"] = round(dt_p * 1e3, 1)
-            if dt_p < dt:
+            if w * h / dt_p / 1e6 > mrays:
                 mrays = w * h / dt_p / 1e6
                 extra["atrium_tracer"] = "pallas"
-        except Exception as e:
-            extra["pallas_tracer_error"] = f"{type(e).__name__}: {e}"
+
+        if not smoke:
+            section("pallas_tracer", pallas_tracer)
     return mrays, extra
 
 

@@ -413,3 +413,120 @@ class TestNewExhibits:
             if getattr(b.primitive, "color", (0, 0, 0, 1))[3] not in (0.0, 1.0)
         ]
         assert semi
+
+
+class TestRound3bExhibits:
+    """Semantics of the second round-3 exhibit batch (chunking, collision,
+    images, make_some_blocks, misc, smallest, ui — city/exhibits/*.rs)."""
+
+    def test_chunking_exhibit_is_chart_shell(self):
+        """chunking.rs: the visualization covers exactly the ChunkChart's
+        offsets (shell only), symmetric about the origin chunk."""
+        import numpy as np
+
+        from aic_tpu.content.exhibits import chunking_exhibit
+        from aic_tpu.math.chunking import ChunkChart
+
+        sp = chunking_exhibit()
+        offsets = ChunkChart(16.0 * 4.99, chunk_size=16).chunks()
+        r = int(np.abs(offsets).max()) + 1
+        filled = np.argwhere(np.asarray(sp.contents) != 0) - r
+        chart_set = {tuple(o) for o in offsets.tolist()}
+        for cube in filled:
+            assert tuple(cube) in chart_set  # no block outside the chart
+        # Mirror symmetry of the chart volume.
+        for cube in filled:
+            assert tuple(-cube) in chart_set
+
+    def test_collision_exhibit_rotated_slabs(self):
+        """collision.rs: the ring slots hold the same slab block under
+        different rotations (distinct palette entries, same source)."""
+        from aic_tpu.block.model import Rotate
+        from aic_tpu.content.exhibits import collision_exhibit
+
+        sp = collision_exhibit()
+        rots = set()
+        for i in range(sp.palette_len()):
+            b = sp.palette[i]
+            for m in b.modifiers:
+                if isinstance(m, Rotate):
+                    rots.add(m.rotation)
+        assert len(rots) >= 4  # four facings + upside-down center
+
+    def test_images_exhibit_rotations_differ(self):
+        """images.rs: the four rotated image blocks evaluate to different
+        voxel grids (rotation actually moved the image plane)."""
+        import numpy as np
+
+        from aic_tpu.block import evaluate
+        from aic_tpu.content.exhibits import images_exhibit
+
+        sp = images_exhibit()
+        grids = []
+        for cube in ((1, 1, 1), (3, 1, 1), (5, 1, 1), (7, 1, 1)):
+            ev = sp.evaluated(int(sp.contents[tuple(np.subtract(cube, sp.bounds.lower))]))
+            grids.append(np.asarray(ev.voxels.color[..., 3] > 0))
+        for i in range(len(grids)):
+            for j in range(i + 1, len(grids)):
+                assert grids[i].shape == grids[j].shape
+                assert (grids[i] != grids[j]).any(), (i, j)
+
+    def test_images_transparent_pixels_are_air(self):
+        """load_image.rs default_srgb: alpha-0 pixels become AIR."""
+        import numpy as np
+
+        from aic_tpu.content.alg import space_from_image
+        from aic_tpu.math.grid import IDENTITY_ROTATION
+
+        img = np.zeros((4, 4, 4), np.uint8)
+        img[1:, :, :] = 255  # opaque white except the top row
+        sp = space_from_image(img, IDENTITY_ROTATION)
+        c = np.asarray(sp.contents)
+        assert (c[:, 3, 0] == 0).all()  # top image row (y=3) → AIR
+        assert (c[:, :3, 0] != 0).all()
+
+    def test_make_some_blocks_distinct_and_labeled(self):
+        """content.rs:46: n grayscale atoms named by index; voxel variant
+        carries a drawn label (non-uniform voxel grid)."""
+        import numpy as np
+
+        from aic_tpu.block import evaluate
+        from aic_tpu.content.testing import make_some_blocks, make_some_voxel_blocks
+
+        atoms = make_some_blocks(5)
+        assert len({a.primitive.color for a in atoms}) == 5
+        assert [a.attributes.display_name for a in atoms] == list("01234")
+        vb = make_some_voxel_blocks(2)
+        ev = evaluate(vb[0])
+        col = np.asarray(ev.voxels.color)
+        assert col[..., 3].min() > 0  # fully opaque cube
+        assert np.unique(col[..., 0]).size >= 2  # label drawn on body
+
+    def test_smallest_exhibit_single_r128_voxel(self):
+        """smallest.rs: exactly one solid voxel in an R128 grid."""
+        import numpy as np
+
+        from aic_tpu.block import evaluate
+        from aic_tpu.content.exhibits import EXHIBITS, smallest_exhibit
+
+        sp = smallest_exhibit()
+        block = sp.palette[int(np.asarray(sp.contents).max())]
+        ev = evaluate(block)
+        assert ev.resolution == 128
+        assert int((np.asarray(ev.voxels.color[..., 3]) > 0).sum()) == 1
+        # Marked heavy: demo-city must skip it (Exhibit.heavy docstring).
+        assert [e.heavy for e in EXHIBITS if e.name == "Smallest"] == [True]
+
+    def test_ui_blocks_exhibit_has_icons_and_progress(self):
+        """ui.rs: tool icons + widget furniture + progress bars landed."""
+        import numpy as np
+
+        from aic_tpu.content.exhibits import ui_blocks_exhibit
+
+        sp = ui_blocks_exhibit()
+        names = set()
+        for i in range(sp.palette_len()):
+            names.add(sp.palette[i].attributes.display_name)
+        assert "progress" in names
+        assert any("button" in (n or "") for n in names)
+        assert (np.asarray(sp.contents) != 0).sum() > 10
