@@ -705,6 +705,26 @@ def trace_rays_pallas(
         state.lower, jnp.float32
     )
     d = directions.reshape(-1, 3).astype(jnp.float32)
+    # Tile-coherent grouping: the kernel advances one occupied domain per
+    # iteration among a group's walking rays, so a group should share as
+    # few domains as possible. For an image grid, a 32×32 pixel tile is
+    # far more angularly compact than the raster-order 1×1024 strip —
+    # rearrange so each GROUP is one tile (pure reshape/transpose; the
+    # inverse is applied to the outputs below).
+    tiled_hw = None
+    if len(batch_shape) == 2 and batch_shape[0] * batch_shape[1] >= N_GROUP:
+        T = 32  # T*T == N_GROUP
+        H, W = batch_shape
+        Hp, Wp = -(-H // T) * T, -(-W // T) * T
+        tiled_hw = (H, W, Hp, Wp, T)
+
+        def to_tiles(a):
+            a = a.reshape(H, W, 3)
+            a = jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+            a = a.reshape(Hp // T, T, Wp // T, T, 3)
+            return a.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+
+        o, d = to_tiles(o), to_tiles(d)
     n = o.shape[0]
     m = -(-n // N_GROUP) * N_GROUP
     if m != n:
@@ -720,8 +740,19 @@ def trace_rays_pallas(
         include_sky=include_sky, phases=phases, kernel_iters=kernel_iters,
         substeps=substeps, max_rounds=max_rounds, interpret=interpret,
     )
-    light = light[:n].reshape(batch_shape + (3,))
-    trans = trans[:n].reshape(batch_shape)
+    if tiled_hw is not None:
+        H, W, Hp, Wp, T = tiled_hw
+
+        def from_tiles(a):
+            a = a[:n].reshape(Hp // T, Wp // T, T, T, -1)
+            a = a.transpose(0, 2, 1, 3, 4).reshape(Hp, Wp, -1)
+            return a[:H, :W]
+
+        light = from_tiles(light).reshape(batch_shape + (3,))
+        trans = from_tiles(trans[:, None]).reshape(batch_shape)
+    else:
+        light = light[:n].reshape(batch_shape + (3,))
+        trans = trans[:n].reshape(batch_shape)
     if return_stats:
         return light, trans, {"unfinished": unfinished}
     return light, trans

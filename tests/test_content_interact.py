@@ -151,7 +151,13 @@ class TestExhibits:
             cam = Camera(opts, Viewport(48, 32))
             lo = np.asarray(sp.bounds.lower, float)
             size = np.asarray(sp.bounds.size, float)
-            cam.look_at(lo + size * [0.5, 1.2, 2.2], lo + size / 2)
+            if e.name == "Smallest":
+                # The reference's SMALLEST exhibit is a single 1/128-block
+                # voxel (exhibits/smallest.rs) — sub-pixel at the generic
+                # framing, so frame it with a macro close-up instead.
+                cam.look_at(lo + [0.5, 0.06, 0.62], lo + [0.5, 0.004, 0.5])
+            else:
+                cam.look_at(lo + size * [0.5, 1.2, 2.2], lo + size / 2)
             r = render(st, cam)
             assert r.data[..., :3].std() > 1.0, e.name  # not a blank frame
 
