@@ -712,19 +712,24 @@ def trace_rays_pallas(
     # rearrange so each GROUP is one tile (pure reshape/transpose; the
     # inverse is applied to the outputs below).
     tiled_hw = None
+    T = int(np.sqrt(N_GROUP))
+    assert T * T == N_GROUP, "GROUP must give a square pixel tile"
     if len(batch_shape) == 2 and batch_shape[0] * batch_shape[1] >= N_GROUP:
-        T = 32  # T*T == N_GROUP
         H, W = batch_shape
         Hp, Wp = -(-H // T) * T, -(-W // T) * T
-        tiled_hw = (H, W, Hp, Wp, T)
+        # Thin 2D batches (e.g. 2×512) would pad per-dimension and trace
+        # many times the requested rays for no coherence benefit — only
+        # tile when the pad overhead stays small.
+        if Hp * Wp <= 1.5 * H * W:
+            tiled_hw = (H, W, Hp, Wp, T)
 
-        def to_tiles(a):
-            a = a.reshape(H, W, 3)
-            a = jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
-            a = a.reshape(Hp // T, T, Wp // T, T, 3)
-            return a.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+            def to_tiles(a):
+                a = a.reshape(H, W, 3)
+                a = jnp.pad(a, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+                a = a.reshape(Hp // T, T, Wp // T, T, 3)
+                return a.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
 
-        o, d = to_tiles(o), to_tiles(d)
+            o, d = to_tiles(o), to_tiles(d)
     n = o.shape[0]
     m = -(-n // N_GROUP) * N_GROUP
     if m != n:

@@ -373,7 +373,7 @@ def ray_entry_setup(o, d, size_i, size_f):
         inv_d=inv_d, step=step, step_pos=step_pos,
         t_delta_base=t_delta_base, d_len=d_len, max_abs_d=max_abs_d,
         cube0=cube0, tmax0=tmax0, hits_box=hits_box,
-        t_enter=t_enter, t_exit=t_exit,
+        t_enter=t_enter, t_exit=t_exit, started_inside=started_inside,
     )
 
 
@@ -682,6 +682,45 @@ def trace_rays(
 
     tables = state.tables
 
+    # ---- origin inside a voxel-block cube: descend immediately ----------
+    # recursive_raycast applies to the ORIGIN cube too (raycast.rs:458;
+    # SurfaceIter enters Recur voxels for the cube containing the ray
+    # origin) — without this, a camera standing inside an R>1 block's
+    # bounds (e.g. the Smallest exhibit's R128 macro shot) sees nothing.
+    # The origin voxel itself is not shaded, matching the outer DDA's
+    # treatment of the origin cube.
+    _false1 = jnp.zeros(n_rays, bool)
+    _zero1 = jnp.zeros(n_rays, jnp.int32)
+    bkey0 = _brick_key(cube0, _false1, _zero1)
+    row0 = jnp.take(cells_rows, jnp.clip(bkey0, 0, total_bricks - 1), axis=0)
+    local0 = (
+        ((cube0[..., 0] & 3) << 4) | ((cube0[..., 1] & 3) << 2) | (cube0[..., 2] & 3)
+    )
+    cell0 = (row0 * (local_iota == local0[..., None])).sum(-1)
+    isvox0 = (
+        entry["started_inside"]
+        & hits_box
+        & ((cell0 & VOXEL_BIT) != 0)
+        & ((cell0 & VISIBLE_BIT) != 0)
+    )
+    res0_l2 = (cell0 >> RES_SHIFT) & 7
+    res0_i = jnp.int32(1) << res0_l2
+    res0_f = jnp.asarray(res0_i, jnp.float32)
+    ventry0 = cell0 & 0xFFFF
+    io0 = (o - jnp.asarray(cube0, jnp.float32)) * res0_f[..., None]
+    icube0 = jnp.clip(jnp.floor(io0).astype(jnp.int32), 0, res0_i[..., None] - 1)
+    itmax0 = (
+        jnp.asarray(icube0 + step_pos, jnp.float32) - io0
+    ) * inv_d / res0_f[..., None]
+    itmax0 = jnp.where(step == 0, _INF, itmax0)
+    iv = isvox0[..., None]
+    cube_init = jnp.where(iv, icube0, cube0)
+    tmax_init = jnp.where(iv, itmax0, tmax0)
+    mode_init = isvox0.astype(jnp.int32)
+    resf_init = jnp.where(isvox0, res0_f, 1.0)
+    resi_init = jnp.where(isvox0, res0_i, 1)
+    ventry_init = jnp.where(isvox0, ventry0, 0)
+
     zero3i = jnp.zeros((n_rays, 3), jnp.int32)
     zero3f = jnp.zeros((n_rays, 3), jnp.float32)
 
@@ -699,12 +738,12 @@ def trace_rays(
     )
 
     init = dict(
-        cube=cube0,
-        tmax=tmax0,
-        mode=jnp.zeros(n_rays, jnp.int32),
-        res_f=jnp.ones(n_rays, jnp.float32),
-        ventry=jnp.zeros(n_rays, jnp.int32),
-        res_i=jnp.ones(n_rays, jnp.int32),
+        cube=cube_init,
+        tmax=tmax_init,
+        mode=mode_init,
+        res_f=resf_init,
+        ventry=ventry_init,
+        res_i=resi_init,
         saved_cube=cube0,
         saved_tmax=tmax0,
         block_cube=cube0,

@@ -157,6 +157,25 @@ class TestKernelParity:
         d = d[..., [1, 2, 0]]
         compare(st, o, d, opts)
 
+    def test_edge_pad_grid(self):
+        """Non-multiple-of-32 2D grid (60×100 → padded 64×128) exercises
+        the edge-mode pad + inverse-permutation path, which exact-32 grids
+        never touch (round-3 advisor finding)."""
+        st = scene_atoms()
+        o, d = grid_rays(60, 100, -3.0, (0.1, 23.9), (0.1, 23.9), (1.0, 0.12, 0.07))
+        assert 64 * 128 <= 1.5 * 60 * 100  # must take the tiled+pad path
+        compare(st, o, d, OPTS_PLAIN)
+
+    def test_thin_batch_avoids_tiling(self):
+        """A 2×512 batch must NOT be tiled (would trace 16× the rays);
+        the flat path handles it (round-3 advisor finding)."""
+        st = scene_atoms()
+        rng = np.random.RandomState(5)
+        o = rng.uniform(-2, 25, (2, 512, 3)).astype(np.float32)
+        d = rng.normal(size=(2, 512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        compare(st, o, d, OPTS_PLAIN, max_rounds=96)
+
     def test_axis_aligned_grazing(self):
         """Axis-aligned rays along cube boundaries (tie-break paths)."""
         st = scene_atoms()
