@@ -190,7 +190,7 @@ class Session:
         self.character_name = character_name
         self.input = InputState()
         self.clock = FrameClock()
-        self.paused = False
+        self._paused = False
         self.quit_requested = False
         self.options = options or GraphicsOptions()
         self.camera = Camera(self.options, viewport)
@@ -198,6 +198,14 @@ class Session:
         from ..vui.notification import NotificationHub
 
         self.notifications = NotificationHub()
+        # Settings store backing the in-game settings page
+        # (all-is-cubes-ui/src/settings.rs; Session::settings).
+        from .settings import Settings
+
+        self.settings = Settings(options=self.options)
+        #: VUI page navigation (vui/page.rs VuiPageState) — populated by
+        #: enable_ui; None means no page layer (plain world render).
+        self.pages = None
         #: Draw a wireframe over the targeted cube (gpu cursor lines role).
         self.debug_cursor = False
         self._last_cursor = None
@@ -206,6 +214,36 @@ class Session:
     @property
     def character(self):
         return self.universe.characters.get(self.character_name)
+
+    # -- pause / page-state coupling (vui_manager.rs set_state) -------------
+
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    @paused.setter
+    def paused(self, value: bool):
+        """Pausing opens the paused page; resuming clears the page stack
+        (the reference couples paused<->VuiPageState::Paused the same
+        way, vui_manager.rs pause handling)."""
+        value = bool(value)
+        if value == self._paused:
+            return
+        self._paused = value
+        if self.pages is not None:
+            if value:
+                self.pages.open("paused")
+            else:
+                self.pages.clear()
+
+    def back(self) -> None:
+        """Escape semantics (session.rs back/escape): pop the top page;
+        popping the last page resumes play."""
+        if self.pages is not None and self.pages.back():
+            if self.pages.depth == 0:
+                self._paused = False
+            return
+        self._paused = False
 
     def set_look(self, yaw_deg: float, pitch_deg: float):
         import jax.numpy as jnp
@@ -294,10 +332,14 @@ class Session:
         for _ in range(steps):
             self.apply_input()
             info = self.universe.step(paused=self.paused)
-            self.info_text = (
-                f"tick {info.tick} | edits {info.space_edits} | "
-                f"lightq {info.light_queue} | {info.wall_time_s*1000:.1f}ms"
-            )
+            # Reading the device-path stats forces a host sync
+            # (UniverseStepInfo._drain) — refresh the diagnostic line at
+            # a low cadence so the step loop itself stays async.
+            if info.tick % 15 == 0:
+                self.info_text = (
+                    f"tick {info.tick} | edits {info.space_edits} | "
+                    f"lightq {info.light_queue} | {info.wall_time_s*1000:.1f}ms"
+                )
         if steps and getattr(self, "hud", None) is not None:
             # HUD widget controllers ride the step cadence (vui_manager
             # steps controllers every frame) — cheap no-op when nothing
@@ -435,7 +477,8 @@ class Session:
     def enable_ui(self, inventory=None):
         """Attach the voxel-UI HUD layer (vui_manager.rs HudLayout)."""
         from ..universe.cursor import free_editing_inventory
-        from ..vui import pause_page, ui_camera
+        from ..vui import ui_camera
+        from ..vui.page import PageStack
 
         from ..vui.controller import HudController
 
@@ -453,9 +496,27 @@ class Session:
         self.ui_space = self.hud.space
         self.ui_widgets = self.hud.widgets
         self.ui_camera = ui_camera(self.ui_space, self.camera.viewport)
-        self._pause_space = pause_page()
-        self._pause_state = self._pause_space.snapshot()
-        self._pause_camera = ui_camera(self._pause_space, self.camera.viewport)
+        self.pages = PageStack(
+            settings=self.settings, notifications=self.notifications
+        )
+        if self._paused:
+            self.pages.open("paused")
+
+    # Legacy aliases for the pre-page-stack pause overlay: the paused
+    # page built by the stack, exposed under the old attribute names.
+    @property
+    def _pause_space(self):
+        return self.pages.page("paused").space
+
+    @property
+    def _pause_state(self):
+        return self.pages.page("paused").snapshot()
+
+    @property
+    def _pause_camera(self):
+        from ..vui import ui_camera
+
+        return self.pages.page("paused").camera(self.camera.viewport)
 
     @property
     def ui_state(self):
@@ -482,10 +543,15 @@ class Session:
         ndc = np.array(
             [2.0 * (x_px + 0.5) / vp.width - 1.0, 1.0 - 2.0 * (y_px + 0.5) / vp.height]
         )
-        # UI layer pick.
+        # UI layer pick: the top page when one is open, else the HUD.
         if getattr(self, "ui_state", None) is not None:
-            ui_space = self._pause_space if self.paused else self.ui_space
-            ui_cam = self._pause_camera if self.paused else self.ui_camera
+            page = self.pages.current() if self.pages is not None else None
+            if page is not None:
+                ui_space = page.space
+                ui_cam = page.camera(vp)
+            else:
+                ui_space = self.ui_space
+                ui_cam = self.ui_camera
             origin, direction = ui_cam.project_ndc_into_world(ndc)
             cur = cursor_raycast(ui_space, origin, direction, max_distance=1000.0)
             if cur is not None:
@@ -504,16 +570,44 @@ class Session:
         return world_click(self.universe, ch, cur, button)
 
     def handle_ui_action(self, action):
-        """Standard page actions (ui pages): resume/quit/template."""
+        """Standard page actions (pages.rs buttons): resume/quit/back,
+        open-page, setting toggles, template selection."""
         if action == "resume":
             self.paused = False
         elif action == "quit":
             self.quit_requested = True
+        elif action == "back":
+            self.back()
+        elif isinstance(action, tuple) and action[0] == "open":
+            if self.pages is not None:
+                self.pages.open(action[1])
+        elif isinstance(action, tuple) and action[0] == "setting":
+            from ..vui.page import cycle_setting
+
+            cycle_setting(self.settings, action[1])
+            self.apply_settings()
+            if self.pages is not None:
+                # Labels show current values — rebuild the page.
+                self.pages.invalidate("settings")
         elif isinstance(action, tuple) and action[0] == "template":
             from ..content.template import build_universe
 
             self.universe = build_universe(action[1])
         return action
+
+    def show_message(self, message: str):
+        """Open the modal message page (pages.rs:223 new_message_page)."""
+        if self.pages is not None:
+            self.pages.open("message", message=message)
+
+    def apply_settings(self):
+        """Propagate the settings store into the live graphics options +
+        camera (Session::settings mutation propagation)."""
+        self.options = self.settings.graphics_options()
+        exposure = self.camera.exposure
+        eye_to_world = self.camera.eye_to_world
+        self.camera = Camera(self.options, self.camera.viewport, eye_to_world)
+        self.camera.exposure = exposure
 
     def select_slot(self, slot: int):
         """Toolbar slot selection (session.rs number-key handling)."""
@@ -538,9 +632,12 @@ class Session:
         if getattr(self, "ui_state", None) is not None and getattr(
             self.options, "show_ui", True
         ):
-            if self.paused:
+            page = self.pages.current() if self.pages is not None else None
+            if page is not None:
                 ui_light, ui_trans = render_hdr(
-                    self._pause_state, self._pause_camera, include_sky=False
+                    page.snapshot(),
+                    page.camera(cam.viewport),
+                    include_sky=False,
                 )
             else:
                 ui_light, ui_trans = render_hdr(

@@ -88,15 +88,62 @@ class Character:
 
 @dataclass
 class UniverseStepInfo:
-    """universe.rs:863: per-step structured diagnostics."""
+    """universe.rs:863: per-step structured diagnostics.
+
+    Stats produced by the fused device tick (universe/device_step.py)
+    stay ON DEVICE inside this object; reading `space_edits` /
+    `light_updates` / `light_queue` drains them with one blocking
+    readback. A step loop that never reads them never syncs (BASELINE
+    north star: "the step loop stays fully on-device, with the host only
+    handling input and image readback")."""
 
     tick: int = 0
-    space_edits: int = 0
-    light_updates: int = 0
-    light_queue: int = 0
     bodies: int = 0
     behaviors_run: int = 0
     wall_time_s: float = 0.0
+
+    def __post_init__(self):
+        self._space_edits = 0
+        self._light_updates = 0
+        self._light_queue = 0
+        self._device_stats: list = []
+
+    def add_device_stats(self, stats: dict):
+        self._device_stats.append(stats)
+
+    def _drain(self):
+        for s in self._device_stats:
+            self._space_edits += int(s["edits"])
+            self._light_updates += int(s["updated"])
+            self._light_queue += int(s["queue_remaining"])
+        self._device_stats = []
+
+    @property
+    def space_edits(self) -> int:
+        self._drain()
+        return self._space_edits
+
+    @space_edits.setter
+    def space_edits(self, v: int):
+        self._space_edits = v
+
+    @property
+    def light_updates(self) -> int:
+        self._drain()
+        return self._light_updates
+
+    @light_updates.setter
+    def light_updates(self, v: int):
+        self._light_updates = v
+
+    @property
+    def light_queue(self) -> int:
+        self._drain()
+        return self._light_queue
+
+    @light_queue.setter
+    def light_queue(self, v: int):
+        self._light_queue = v
 
 
 class Universe:
@@ -123,6 +170,10 @@ class Universe:
         self.light_rounds_per_tick = 2
         self.light_batch_size = 256
         self._tick_action_index: dict[str, list] = {}
+        #: Per-space compiled tick plans (universe/device_step.py): key ->
+        #: (cache_token, TickPlan|None). None = the space's actions need
+        #: the host path this epoch.
+        self._tick_plan_cache: dict[str, tuple] = {}
         #: Momentary effects emitted this tick (fluff.rs); drained by the
         #: session/frontend (sound playback, particles).
         self.fluff_buffer: list = []
@@ -298,6 +349,25 @@ class Universe:
         self.states[name] = self.spaces[name].snapshot()
         self._reindex_tick_actions(name)
 
+    def _tick_plan(self, name: str):
+        """Cached device tick plan for one space (device_step.py). The
+        cache token is the palette length — palette growth or re-eval
+        goes through resnapshot/_reindex_tick_actions, which rebuild the
+        index this keys off."""
+        from .device_step import compile_tick_plan
+
+        sp = self.spaces[name]
+        st = self.states.get(name)
+        if st is None:
+            return None
+        token = (sp.palette_len(), st.tables.padded_palette_size)
+        cached = self._tick_plan_cache.get(name)
+        if cached is not None and cached[0] == token:
+            return cached[1]
+        plan = compile_tick_plan(sp, st.tables.padded_palette_size)
+        self._tick_plan_cache[name] = (token, plan)
+        return plan
+
     def _reindex_tick_actions(self, name: str):
         """Index tick actions from EVALUATED attributes (space/step.rs
         reads EvaluatedBlock attributes — modifiers like Composite
@@ -309,6 +379,7 @@ class Universe:
             if att.tick_action is not None:
                 acts.append((i, att.tick_action, att.tick_period))
         self._tick_action_index[name] = acts
+        self._tick_plan_cache.pop(name, None)
 
     # -- stepping (universe.rs:314) ------------------------------------------
 
@@ -343,10 +414,35 @@ class Universe:
                 if name in self.states:  # stateless recur content spaces
                     self.resnapshot(name)
 
-        # Step: tick actions (space/step.rs:114).
+        # Step: tick actions (space/step.rs:114). A space whose actions
+        # compile to a palette remap takes the fused device path
+        # (device_step.py): ONE jitted dispatch covering the remap,
+        # light-dirty marks, traversal-cell rebuild AND this tick's light
+        # rounds — no host reads. The host `Space.contents` mirror gets
+        # the identical numpy remap so host-side reads (cursor, save,
+        # meshing) stay exact. Other spaces fall back to the per-cube
+        # host loop (Neighbors/StartMove/custom operations).
+        device_ticked: set = set()
         with prof.span("tick_actions"):
             for name in self.spaces:
-                info.space_edits += self._run_tick_actions(name, tick)
+                st = self.states.get(name)
+                plan = self._tick_plan(name)
+                if plan is not None and st is not None and st.light_enabled:
+                    from .device_step import device_tick
+
+                    new_st, stats = device_tick(
+                        st,
+                        plan,
+                        tick.ticks,
+                        light_rounds=self.light_rounds_per_tick,
+                        light_batch=self.light_batch_size,
+                    )
+                    self.states[name] = new_st
+                    self._apply_plan_host(name, plan, tick.ticks)
+                    info.add_device_stats(stats)
+                    device_ticked.add(name)
+                else:
+                    info.space_edits += self._run_tick_actions(name, tick)
 
         # Behaviors (space/step.rs:367,405).
         prof_behaviors = prof.span("behaviors")
@@ -398,8 +494,13 @@ class Universe:
                     self.on_ground = phys_info["on_ground"]
 
         # Light updates (space/step.rs:338): fixed rounds per tick.
+        # Device-ticked spaces already ran their rounds inside the fused
+        # dispatch (their edits-from-behaviors relight next tick via the
+        # persistent dirty field).
         with prof.span("light"):
             for name in self.spaces:
+                if name in device_ticked:
+                    continue
                 # Recur content spaces loaded from saves carry no device
                 # state (io/save.py load_universe) — nothing to relight.
                 st = self.states.get(name)
@@ -430,6 +531,22 @@ class Universe:
                 },
             )
         return info
+
+    def _apply_plan_host(self, name: str, plan, ticks: int) -> None:
+        """Mirror the device tick's palette remap onto the host
+        `Space.contents` (one numpy take) so host-side consumers —
+        cursor raycast, save/export, meshing — keep seeing the same
+        world the device state holds."""
+        sp = self.spaces[name]
+        period = np.asarray(plan.period)
+        if not period.any():
+            return
+        remap = np.asarray(plan.remap)
+        fire = (period > 0) & (ticks % np.maximum(period, 1) == 0)
+        if not fire.any():
+            return
+        eff = np.where(fire, remap, np.arange(remap.shape[0], dtype=remap.dtype))
+        sp.contents = eff[sp.contents].astype(sp.contents.dtype)
 
     def _run_tick_actions(self, name: str, tick: Tick) -> int:
         """execute_tick_actions_system (space/step.rs:114): for each cube

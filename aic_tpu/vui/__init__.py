@@ -20,8 +20,26 @@ from .widgets import (
     Tooltip,
 )
 from .hud import build_hud, main_menu_page, pause_page, ui_camera
+from .page import (
+    Page,
+    PageStack,
+    build_about_page,
+    build_message_page,
+    build_paused_page,
+    build_progress_page,
+    build_settings_page,
+    cycle_setting,
+)
 
 __all__ = [
+    "Page",
+    "PageStack",
+    "build_about_page",
+    "build_message_page",
+    "build_paused_page",
+    "build_progress_page",
+    "build_settings_page",
+    "cycle_setting",
     "Button",
     "Column",
     "Crosshair",

@@ -6,13 +6,13 @@ import numpy as np
 
 from aic_tpu.content.cornell import cornell_box
 from aic_tpu.content.testing import light_bench_space
-from aic_tpu.light.dense import build_relight_ctx, evaluate_light_dense, _use_pallas_pass
+from aic_tpu.light.dense import build_relight_ctx, evaluate_light_dense, _pallas_split
 
 for label, make in (("light_bench", light_bench_space), ("cornell32", lambda: cornell_box(32))):
     sp = make()
     st = sp.snapshot()
     ctx = build_relight_ctx(st)
-    print(label, "pallas eligible:", _use_pallas_pass(st), flush=True)
+    print(label, "pallas eligible:", _pallas_split(st), flush=True)
     t0 = time.perf_counter()
     lit, passes = evaluate_light_dense(st, ctx=ctx)
     np.asarray(lit.light[0, 0, 0])

@@ -1,0 +1,141 @@
+"""Fused device tick (aic_tpu/universe/device_step.py) vs the host
+tick-action path: same contents, same dirty marks, same stats.
+
+The reference executes tick actions per cube on the CPU
+(all-is-cubes/src/space/step.rs:114 execute_tick_actions_system); our
+device path expresses remap-style actions (Become/DestroyTo of interned
+blocks) as one palette-remap pass fused with the tick's light rounds.
+These tests pin the equivalence and the fallback behavior.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from aic_tpu import block
+from aic_tpu.block.model import Block
+from aic_tpu.math.grid import GridAab
+from aic_tpu.space import Sky, Space, SpacePhysics
+from aic_tpu.universe import Universe
+from aic_tpu.universe.device_step import compile_tick_plan, device_tick
+from aic_tpu.universe.op import Become, Operation, OperationFailed
+
+
+def _blinker_space(period=1, size=6):
+    """A space holding a 2-frame Become blinker plus scenery."""
+    from aic_tpu.content.exhibits import _become_cycle
+
+    a = block.from_color((0.9, 0.1, 0.1, 1.0), display_name="red")
+    b = block.from_color((0.1, 0.9, 0.1, 1.0), display_name="green")
+    frames = _become_cycle([a, b], period)
+    sp = Space(
+        GridAab.from_lower_size((0, 0, 0), (size, size, size)),
+        physics=SpacePhysics(sky=Sky.uniform((0.4, 0.4, 0.4))),
+    )
+    wall = block.from_color((0.5, 0.5, 0.5, 1.0), display_name="wall")
+    for x in range(size):
+        sp.set((x, 0, 0), wall)
+    sp.set((2, 2, 2), frames[0])
+    sp.set((3, 2, 2), frames[1])
+    # Intern every frame up front so the plan compiles immediately.
+    for f in frames:
+        sp.intern(f) if hasattr(sp, "intern") else None
+    return sp, frames
+
+
+def _universe_with(sp) -> Universe:
+    u = Universe()
+    u.insert_space("w", sp)
+    return u
+
+
+class TestPlanCompilation:
+    def test_become_cycle_compiles(self):
+        sp, frames = _blinker_space()
+        u = _universe_with(sp)
+        plan = u._tick_plan("w")
+        # Both frames are interned (both placed), so the remap exists.
+        assert plan is not None
+        remap = np.asarray(plan.remap)
+        assert (remap != np.arange(remap.shape[0])).any()
+
+    def test_custom_operation_falls_back(self):
+        @dataclasses.dataclass(frozen=True)
+        class Weird(Operation):
+            def apply(self, space, cube):
+                raise OperationFailed("nope")
+
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (4, 4, 4)))
+        blk = block.from_color(
+            (0.2, 0.2, 0.9, 1.0), display_name="w"
+        ).with_attributes(tick_action=Weird())
+        sp.set((1, 1, 1), blk)
+        u = _universe_with(sp)
+        assert u._tick_plan("w") is None
+
+    def test_plan_cache_invalidated_on_resnapshot(self):
+        sp, _ = _blinker_space()
+        u = _universe_with(sp)
+        p1 = u._tick_plan("w")
+        u.resnapshot("w")
+        assert u._tick_plan("w") is not None  # rebuilt, not stale
+
+
+class TestDeviceHostEquivalence:
+    def _step_both(self, steps=4, period=1):
+        sp_d, _ = _blinker_space(period)
+        sp_h, _ = _blinker_space(period)
+        u_dev = _universe_with(sp_d)
+        u_host = _universe_with(sp_h)
+        # Force the host path on u_host by disabling plan compilation.
+        u_host._tick_plan = lambda name: None
+        for _ in range(steps):
+            id_ = u_dev.step()
+            ih = u_host.step()
+        return u_dev, u_host
+
+    def test_contents_match_after_steps(self):
+        u_dev, u_host = self._step_both(steps=4)
+        dev = np.asarray(u_dev.states["w"].contents)
+        host = np.asarray(u_host.states["w"].contents)
+        # Palette indices may differ only if interning order diverged —
+        # both paths intern up front here, so exact equality holds.
+        assert np.array_equal(dev, host)
+        # Host mirror of the device universe matches its device state.
+        assert np.array_equal(np.asarray(u_dev.spaces["w"].contents), dev)
+
+    def test_period_respected(self):
+        sp, _ = _blinker_space(period=3)
+        u = _universe_with(sp)
+        u.step()  # tick 0: every schedule fires (0 % n == 0)
+        fired0 = np.asarray(u.states["w"].contents).copy()
+        u.step()  # tick 1: 1 % 3 != 0 -> no fire
+        u.step()  # tick 2: no fire
+        after2 = np.asarray(u.states["w"].contents)
+        assert np.array_equal(fired0, after2)
+        u.step()  # tick 3: fires
+        after3 = np.asarray(u.states["w"].contents)
+        assert not np.array_equal(fired0, after3)
+
+    def test_stats_are_lazy_but_correct(self):
+        sp, _ = _blinker_space()
+        u = _universe_with(sp)
+        info = u.step()
+        # Two blinker cubes swap every tick.
+        assert info.space_edits == 2
+        assert info.light_updates >= 0
+
+    def test_dirty_marks_cover_neighbors(self):
+        sp, _ = _blinker_space()
+        u = _universe_with(sp)
+        st0 = u.states["w"]
+        plan = u._tick_plan("w")
+        st1, stats = device_tick(
+            st0, plan, 1, light_rounds=0, light_batch=32
+        )
+        dirty = np.asarray(st1.light_dirty) > 0
+        # Edited cubes and their 6-neighborhood are marked.
+        assert dirty[2, 2, 2] and dirty[3, 2, 2]
+        assert dirty[1, 2, 2] and dirty[2, 1, 2] and dirty[2, 2, 1]
+        assert int(stats["edits"]) == 2
