@@ -63,13 +63,41 @@ class Clock:
         return t
 
 
+#: Registry of persistable Behavior types (save/schema.rs
+#: BehaviorSetEntryV1Ser's typed behavior payloads): type tag ->
+#: constructor taking the schema dict. Behaviors register via
+#: `Behavior.register` (a subclass defining `SCHEMA_TYPE` + `to_schema`
+#: + `from_schema`); unregistered behaviors are dropped on save, like
+#: the reference drops behaviors it can't serialize.
+BEHAVIOR_REGISTRY: dict = {}
+
+
 class Behavior:
     """behavior.rs:28: attachable per-member logic. step() returns
     (UniverseTransaction | None, then) where then is "step" to continue,
-    "drop" to detach, or an integer tick count to sleep."""
+    "drop" to detach, or an integer tick count to sleep.
+
+    Persistence: subclasses that define `SCHEMA_TYPE` and implement
+    `to_schema()` / `from_schema(d)` (classmethod) survive
+    save_universe/load_universe round-trips (schema.rs behavior
+    serialization role)."""
+
+    SCHEMA_TYPE: str | None = None
 
     def step(self, universe: "Universe", host_name: str, tick: Tick):
         return None, "drop"
+
+    def to_schema(self) -> dict:
+        raise NotImplementedError
+
+    @classmethod
+    def from_schema(cls, d: dict) -> "Behavior":
+        raise NotImplementedError
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+        if getattr(cls, "SCHEMA_TYPE", None):
+            BEHAVIOR_REGISTRY[cls.SCHEMA_TYPE] = cls
 
 
 @dataclass
