@@ -22,9 +22,13 @@ def demo_city(seed: int = 0, size: int = 96, height: int = 24) -> Space:
     blocks = demo_blocks(seed)
     half = size // 2
     bounds = GridAab.from_lower_size((-half, -4, -half), (size, height + 4, size))
+    # Light physics: the reference city re-enables the DEFAULT light
+    # physics after bulk generation (city.rs:134 set_physics with
+    # SpacePhysics::default().light = Rays { maximum_distance: 30 },
+    # physics.rs:103) — not a larger custom distance.
     space = Space(
         bounds,
-        physics=SpacePhysics(sky=Sky.default(), light_max_distance=40),
+        physics=SpacePhysics(sky=Sky.default(), light_max_distance=30),
     )
 
     hf = heightfield((size, size), seed, amplitude=4.0)

@@ -164,7 +164,7 @@ def relight_batch(state: SpaceState, cubes, valid):
     max_steps = ch["max_steps"]
 
     def body(s, carry):
-        alpha, live, incoming, total_w = carry
+        alpha, live, incoming, total_w, prev_own = carry
         off = jax.lax.dynamic_slice_in_dim(offsets, s, 1, axis=1)[:, 0, :]  # [R,3]
         f_in = jax.lax.dynamic_slice_in_dim(faces_in, s, 1, axis=1)[:, 0]  # [R]
         kind = jax.lax.dynamic_slice_in_dim(kinds, s, 1, axis=1)[:, 0]  # [R]
@@ -191,9 +191,11 @@ def relight_batch(state: SpaceState, cubes, valid):
         interacting = active & ~exits & visible
 
         # Struck-face branch (hit_alpha > 0): reflect light from the cube
-        # behind the face (= previous cube on the path = pos + normal).
-        behind_pos = pos + jnp.take(face_normals, f_in, axis=0)[None, :, :]
-        behind_light = _gather_light_rgb(state, behind_pos)  # [B,R,3]
+        # behind the face. A DDA path enters pos(s) from pos(s-1) =
+        # pos + normal(f_in), the cube whose own light the PREVIOUS step
+        # fetched — carried in prev_own, replacing a whole [B,R] light
+        # gather per step (same trick as pallas_relight.py point 3).
+        behind_light = prev_own  # [B,R,3]
         struck = interacting & (hit_alpha > 0.0)
         # hit_surface_color.clamp() (updater.rs:802): reflectance is
         # clamped to [0,1] so over-unity block colors cannot amplify light.
@@ -227,21 +229,26 @@ def relight_batch(state: SpaceState, cubes, valid):
         live = live & ~ends_now
 
         incoming = incoming + contrib.sum(1)
-        return (alpha, live, incoming, total_w)
+        return (alpha, live, incoming, total_w, own_light)
 
     total_w0 = jnp.zeros((b, n_rays), jnp.float32)
-    init = (alpha, live, incoming0, total_w0)
+    # prev_own starts as the origin cube's stored light: step 0 enters
+    # pos(0) from the origin itself (updater.rs traverse: the ray's first
+    # struck face reflects the origin's light value).
+    origin_light = _gather_light_rgb(state, cubes)  # [B,3]
+    prev_own0 = jnp.broadcast_to(origin_light[:, None, :], (b, n_rays, 3))
+    init = (alpha, live, incoming0, total_w0, prev_own0)
 
     def cond_wrap(carry_s):
         carry, s = carry_s
-        _, live, _, _ = carry
+        live = carry[1]
         return (s < max_steps) & live.any()
 
     def body_wrap(carry_s):
         carry, s = carry_s
         return (body(s, carry), s + 1)
 
-    (alpha, live, incoming, total_w), _ = jax.lax.while_loop(
+    (alpha, live, incoming, total_w, _), _ = jax.lax.while_loop(
         cond_wrap, body_wrap, (init, jnp.int32(0))
     )
 
