@@ -124,7 +124,7 @@ class SessionAudio:
             )
             yaw = float(np.asarray(u.bodies.yaw[ch.body_index]))
         n = 0
-        for fluff in u.drain_fluff():
+        for fluff in u.drain_fluff("audio"):
             sound = self.sounds.get(fluff.name)
             if sound is None:
                 continue

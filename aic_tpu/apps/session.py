@@ -210,6 +210,10 @@ class Session:
         self.debug_cursor = False
         self._last_cursor = None
         self._frame_ema = 0.0
+        #: Transient fluff particles (gpu/in_wgpu/space.rs:1104 renders
+        #: fluff as particle sets): [(world_pos f64[3], name, birth_tick)].
+        self.particles: list = []
+        self.particle_lifetime_ticks = 24  # ~0.4 s at 60 Hz
 
     @property
     def character(self):
@@ -332,6 +336,15 @@ class Session:
         for _ in range(steps):
             self.apply_input()
             info = self.universe.step(paused=self.paused)
+            # Fluff → transient particles (space.rs:1104 particle sets).
+            for fluff in self.universe.drain_fluff("particles"):
+                pos = np.asarray(fluff.position, np.float64) + 0.5
+                self.particles.append((pos, fluff.name, info.tick))
+            if self.particles:
+                cutoff = info.tick - self.particle_lifetime_ticks
+                self.particles = [
+                    p for p in self.particles if p[2] > cutoff
+                ]
             # Reading the device-path stats forces a host sync
             # (UniverseStepInfo._drain) — refresh the diagnostic line at
             # a low cadence so the step loop itself stays async.
@@ -388,6 +401,8 @@ class Session:
         srgb = linear_to_srgb8(rgb)
         alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
         img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
+        if self.particles:
+            img = self._draw_particles(img, cam)
         if self.debug_cursor and self._last_cursor is not None:
             from ..raytrace.lines import cursor_wireframe, overlay_wireframes
 
@@ -404,6 +419,40 @@ class Session:
             f"{cam.viewport.width}x{cam.viewport.height}"
         )
         return Rendering(cam.viewport.width, cam.viewport.height, img)
+
+    #: Fluff-name → particle tint (the reference derives particle colors
+    #: from the fluff's definition; the standard effects map here).
+    PARTICLE_COLORS = {
+        "Place": (210, 230, 255),
+        "BlockPlaced": (210, 230, 255),
+        "Destroy": (255, 190, 110),
+        "BlockDestroyed": (255, 190, 110),
+        "Activate": (255, 255, 160),
+    }
+
+    def _draw_particles(self, img, cam):
+        """Fluff particle overlay: one expanding 4-point sparkle per
+        recent fluff event, aging out over `particle_lifetime_ticks`
+        (the raytrace-renderer analog of the wgpu renderer's fluff
+        particle sets, gpu/in_wgpu/space.rs:1104)."""
+        from ..raytrace.lines import draw_segments, project_segments
+
+        tick = self.universe.clock.ticks
+        by_color: dict = {}
+        for pos, name, birth in self.particles:
+            age = (tick - birth) / max(self.particle_lifetime_ticks, 1)
+            r = 0.12 + 0.3 * min(max(age, 0.0), 1.0)  # expanding burst
+            color = self.PARTICLE_COLORS.get(name, (255, 255, 255))
+            segs = by_color.setdefault(color, [])
+            for d in ((r, 0, 0), (0, r, 0), (0, 0, r)):
+                a = pos - np.asarray(d, np.float64)
+                b = pos + np.asarray(d, np.float64)
+                segs.append((a, b))
+        img = np.ascontiguousarray(img)
+        for color, segs in by_color.items():
+            px = project_segments(cam, np.asarray(segs, np.float64))
+            draw_segments(img, px, color=color)
+        return img
 
     def _debug_overlays(self, img, cam):
         """GraphicsOptions debug wireframes (graphics_options.rs:121-152;

@@ -284,9 +284,35 @@ def light_update_round(state: SpaceState, batch_size: int = 256):
     The device analog of update_light_from_queue (updater.rs:175).
     """
     size = state.contents.shape
-    flat_dirty = state.light_dirty.reshape(-1).astype(jnp.int32)
-    k = min(batch_size, flat_dirty.shape[0])
-    prio, flat_pos = jax.lax.top_k(flat_dirty, k)
+    flat_dirty = state.light_dirty.reshape(-1)
+    n = flat_dirty.shape[0]
+    k = min(batch_size, n)
+    # Two-stage hierarchical selection. A flat top_k/approx_max_k over
+    # the volume costs 3-8 ms at demo-city size (measured,
+    # scripts/probe_round_ablate.py) — more than the relight itself at
+    # B=32. Instead: max-reduce 128-lane rows (one cheap pass), exact
+    # top-k over the ~N/128 row maxima, then up to 4 candidates per
+    # selected row and a final exact top-k over those ≤4k candidates.
+    # The queue only needs "a batch of high-priority dirty cubes"
+    # (queue.rs:135 pops max first, but convergence is a fixpoint);
+    # cubes missed by the per-row cap surface next round — processed
+    # cubes clear, so remaining ranks strictly rise and nothing starves.
+    if n % 128:
+        flat_dirty = jnp.pad(flat_dirty, (0, 128 - n % 128))
+    rows2 = flat_dirty.reshape(-1, 128)
+    n_rows = rows2.shape[0]
+    kr = min(k, n_rows)
+    row_max = rows2.max(axis=1).astype(jnp.int32)
+    _, rsel = jax.lax.top_k(row_max, kr)
+    cand = jnp.take(rows2, rsel, axis=0).astype(jnp.int32)  # [kr,128]
+    m = -(-k // kr) if kr * 4 < k else 4  # tiny volumes: deepen per-row picks
+    m = min(m, 128)
+    cprio, coff = jax.lax.top_k(cand, m)  # [kr,m] per-row candidates
+    cpos = rsel[:, None] * 128 + coff  # [kr,m]
+    k = min(k, kr * m)
+    prio, ci = jax.lax.top_k(cprio.reshape(-1), k)
+    flat_pos = jnp.take(cpos.reshape(-1), ci)
+    flat_pos = jnp.minimum(flat_pos, n - 1).astype(jnp.int32)
     valid = prio > 0
     pos = jnp.stack(
         [
@@ -302,11 +328,20 @@ def light_update_round(state: SpaceState, batch_size: int = 256):
     old_light = state.light[pos[:, 0], pos[:, 1], pos[:, 2]]
     diff = lightpack.difference_priority(old_light, new_light)  # i32[B]
 
-    light = state.light.at[pos[:, 0], pos[:, 1], pos[:, 2]].set(
-        jnp.where(valid[:, None], new_light, old_light)
+    # One u32 scatter instead of a [B,4]-u8 scatter (texel = 4 packed u8).
+    light_u32 = jax.lax.bitcast_convert_type(state.light, jnp.uint32)
+    new_u32 = jax.lax.bitcast_convert_type(
+        jnp.where(valid[:, None], new_light, old_light), jnp.uint32
+    )
+    light = jax.lax.bitcast_convert_type(
+        light_u32.at[pos[:, 0], pos[:, 1], pos[:, 2]].set(new_u32), jnp.uint8
     )
     # Clear processed cubes, then bump neighbors where diff > 1
-    # (apply_light_update, updater.rs:289-355).
+    # (apply_light_update, updater.rs:289-355) — one fused scatter-max
+    # over 7K rows: row 0 holds the cleared self (value 0 via max over a
+    # pre-cleared base), rows 1..6 the neighbor bumps. Clearing cannot
+    # ride a max, so the self-clear is a (cheap, K-row) scatter-set and
+    # the 6K neighbor bumps share ONE scatter-max.
     dirty = state.light_dirty.at[pos[:, 0], pos[:, 1], pos[:, 2]].set(
         jnp.where(valid, 0, state.light_dirty[pos[:, 0], pos[:, 1], pos[:, 2]])
     )

@@ -81,6 +81,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="frame.png")
     p.add_argument("--frames", type=int, default=1)
+    p.add_argument(
+        "--camera-script",
+        default=None,
+        metavar="FILE.json",
+        help="record mode: keyframed camera path (record/script.rs JSON: "
+        '{"position": {"times": [...], "values": [[x,y,z], ...]}, '
+        '"look_direction": {...}})',
+    )
     p.add_argument("--duration", type=float, default=1.0, help="headless sim seconds")
     p.add_argument("--lighting", default="smoothstep")
     p.add_argument("--no-relight", action="store_true")
@@ -184,6 +192,11 @@ def main(argv=None):
             u.states["world"] = state
             c = [l + s_ / 2.0 for l, s_ in zip(space.bounds.lower, space.bounds.size)]
             radius = max(space.bounds.size) * 0.9
+            script = None
+            if args.camera_script:
+                from .apps.record_script import CameraScript
+
+                script = CameraScript.from_file(args.camera_script)
             frames = []
             for i in range(args.frames):
                 ang = 2.0 * np.pi * i / args.frames
@@ -192,7 +205,12 @@ def main(argv=None):
                     c[1] + space.bounds.size[1] * 0.4,
                     c[2] + radius * np.sin(ang),
                 )
-                cam.look_at(eye, c)
+                if script is not None:
+                    # Scripted flight (record/script.rs); time advances
+                    # on the record clock (30 fps output frames).
+                    script.camera_at(i / 30.0, cam, eye, c)
+                else:
+                    cam.look_at(eye, c)
                 fr = render(u.states["world"], cam)
                 frames.append(fr.data)
                 u.step()

@@ -189,7 +189,10 @@ def _argmin3(tx, ty, tz):
     return jnp.where(tx < ty, jnp.where(tx < tz, 0, 2), jnp.where(ty < tz, 1, 2))
 
 
-def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
+def _make_kernel(
+    rdims, size, n_regions, n_domains, max_iters, substeps, domains_per_iter=1,
+    macro_steps=1,
+):
     rdy, rdz = rdims[1], rdims[2]
     sx, sy, sz = size
 
@@ -228,67 +231,91 @@ def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
              hit, face, ht, hnt, hx, hy, hz) = carry
             walking = walking_i == 1
 
-            inner = dom >= n_regions
-            # ---- L1 macro step through empty regions (outer rays) -----
-            dom_c = jnp.clip(dom, 0, MAX_REGIONS - 1)
-            l1w = jnp.take_along_axis(l1row, dom_c >> 5, axis=-1)
-            l1bit = (l1w >> (dom_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
-            inb = (
-                (cx >= 0) & (cx < sx) & (cy >= 0) & (cy < sy)
-                & (cz >= 0) & (cz < sz)
-            )
-            in_empty = walking & ~inner & (l1bit == 0) & inb
+            def macro_once(dom, cx, cy, cz, tmx, tmy, tmz, walking):
+                inner = dom >= n_regions
+                # ---- L1 macro step through empty regions (outer rays) --
+                dom_c = jnp.clip(dom, 0, MAX_REGIONS - 1)
+                l1w = jnp.take_along_axis(l1row, dom_c >> 5, axis=-1)
+                l1bit = (l1w >> (dom_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                inb = (
+                    (cx >= 0) & (cx < sx) & (cy >= 0) & (cy < sy)
+                    & (cz >= 0) & (cz < sz)
+                )
+                in_empty = walking & ~inner & (l1bit == 0) & inb
 
-            rbx = ((cx >> 4) + spx) << 4
-            rby = ((cy >> 4) + spy) << 4
-            rbz = ((cz >> 4) + spz) << 4
-            rtx = jnp.where(stx == 0, _INF, (rbx.astype(jnp.float32) - ox) * ivx)
-            rty = jnp.where(sty == 0, _INF, (rby.astype(jnp.float32) - oy) * ivy)
-            rtz = jnp.where(stz == 0, _INF, (rbz.astype(jnp.float32) - oz) * ivz)
-            rax = _argmin3(rtx, rty, rtz)
-            rt = jnp.minimum(rtx, jnp.minimum(rty, rtz))
-            fx = jnp.floor(ox + dx * rt).astype(jnp.int32)
-            fy = jnp.floor(oy + dy * rt).astype(jnp.int32)
-            fz = jnp.floor(oz + dz * rt).astype(jnp.int32)
-            # transverse axes stay within the current region
-            fx = jnp.clip(fx, (cx >> 4) << 4, ((cx >> 4) << 4) + 15)
-            fy = jnp.clip(fy, (cy >> 4) << 4, ((cy >> 4) << 4) + 15)
-            fz = jnp.clip(fz, (cz >> 4) << 4, ((cz >> 4) << 4) + 15)
-            bx = jnp.where(stx > 0, rbx, rbx - 1)
-            by = jnp.where(sty > 0, rby, rby - 1)
-            bz = jnp.where(stz > 0, rbz, rbz - 1)
-            ecx = jnp.where(rax == 0, bx, fx)
-            ecy = jnp.where(rax == 1, by, fy)
-            ecz = jnp.where(rax == 2, bz, fz)
-            exits = (
-                (ecx < 0) | (ecx >= sx) | (ecy < 0) | (ecy >= sy)
-                | (ecz < 0) | (ecz >= sz)
-            )
-            adv = in_empty & ~exits
-            cx = jnp.where(adv, ecx, cx)
-            cy = jnp.where(adv, ecy, cy)
-            cz = jnp.where(adv, ecz, cz)
-            ntx = jnp.where(stx == 0, _INF, ((cx + spx).astype(jnp.float32) - ox) * ivx)
-            nty = jnp.where(sty == 0, _INF, ((cy + spy).astype(jnp.float32) - oy) * ivy)
-            ntz = jnp.where(stz == 0, _INF, ((cz + spz).astype(jnp.float32) - oz) * ivz)
-            tmx = jnp.where(adv, ntx, tmx)
-            tmy = jnp.where(adv, nty, tmy)
-            tmz = jnp.where(adv, ntz, tmz)
-            dom = jnp.where(adv, region_id(cx, cy, cz), dom)
-            walking = walking & ~(in_empty & exits)
+                rbx = ((cx >> 4) + spx) << 4
+                rby = ((cy >> 4) + spy) << 4
+                rbz = ((cz >> 4) + spz) << 4
+                rtx = jnp.where(stx == 0, _INF, (rbx.astype(jnp.float32) - ox) * ivx)
+                rty = jnp.where(sty == 0, _INF, (rby.astype(jnp.float32) - oy) * ivy)
+                rtz = jnp.where(stz == 0, _INF, (rbz.astype(jnp.float32) - oz) * ivz)
+                rax = _argmin3(rtx, rty, rtz)
+                rt = jnp.minimum(rtx, jnp.minimum(rty, rtz))
+                fx = jnp.floor(ox + dx * rt).astype(jnp.int32)
+                fy = jnp.floor(oy + dy * rt).astype(jnp.int32)
+                fz = jnp.floor(oz + dz * rt).astype(jnp.int32)
+                # transverse axes stay within the current region
+                fx = jnp.clip(fx, (cx >> 4) << 4, ((cx >> 4) << 4) + 15)
+                fy = jnp.clip(fy, (cy >> 4) << 4, ((cy >> 4) << 4) + 15)
+                fz = jnp.clip(fz, (cz >> 4) << 4, ((cz >> 4) << 4) + 15)
+                bx = jnp.where(stx > 0, rbx, rbx - 1)
+                by = jnp.where(sty > 0, rby, rby - 1)
+                bz = jnp.where(stz > 0, rbz, rbz - 1)
+                ecx = jnp.where(rax == 0, bx, fx)
+                ecy = jnp.where(rax == 1, by, fy)
+                ecz = jnp.where(rax == 2, bz, fz)
+                exits = (
+                    (ecx < 0) | (ecx >= sx) | (ecy < 0) | (ecy >= sy)
+                    | (ecz < 0) | (ecz >= sz)
+                )
+                adv = in_empty & ~exits
+                cx = jnp.where(adv, ecx, cx)
+                cy = jnp.where(adv, ecy, cy)
+                cz = jnp.where(adv, ecz, cz)
+                ntx = jnp.where(stx == 0, _INF, ((cx + spx).astype(jnp.float32) - ox) * ivx)
+                nty = jnp.where(sty == 0, _INF, ((cy + spy).astype(jnp.float32) - oy) * ivy)
+                ntz = jnp.where(stz == 0, _INF, ((cz + spz).astype(jnp.float32) - oz) * ivz)
+                tmx = jnp.where(adv, ntx, tmx)
+                tmy = jnp.where(adv, nty, tmy)
+                tmz = jnp.where(adv, ntz, tmz)
+                dom = jnp.where(adv, region_id(cx, cy, cz), dom)
+                walking = walking & ~(in_empty & exits)
+                return dom, cx, cy, cz, tmx, tmy, tmz, walking, in_empty
+
+            # Repeating the macro step lets sky/approach rays cross
+            # `macro_steps` empty regions per loop iteration (pure VPU
+            # work on the resident L1 row — no row loads).
+            for _ in range(macro_steps):
+                (dom, cx, cy, cz, tmx, tmy, tmz, walking, in_empty) = macro_once(
+                    dom, cx, cy, cz, tmx, tmy, tmz, walking
+                )
 
             # ---- min-domain synchronous fine stepping ------------------
+            # `domains_per_iter` distinct domains advance per iteration:
+            # one scalar row load each, rays select their word by domain
+            # match (divergent groups serialize 1/K as often).
             cand = walking & ~in_empty
-            dmin = jnp.min(jnp.where(cand, dom, _BIG))
-            safe_dmin = jnp.maximum(jnp.minimum(dmin, n_domains - 1), 0)
-            row1 = rows_ref[pl.dslice(safe_dmin, 1), :]
-            row = jnp.broadcast_to(row1, GROUP)
+            dmins = []
+            rows_loaded = []
+            remaining = cand
+            for _k in range(domains_per_iter):
+                dk = jnp.min(jnp.where(remaining, dom, _BIG))
+                safe_dk = jnp.maximum(jnp.minimum(dk, n_domains - 1), 0)
+                rk = rows_ref[pl.dslice(safe_dk, 1), :]
+                dmins.append(dk)
+                rows_loaded.append(jnp.broadcast_to(rk, GROUP))
+                remaining = remaining & (dom != dk)
+            dmin = dmins[0]
+            row = rows_loaded[0]
 
             def fine_step(st):
                 (dom, cx, cy, cz, tmx, tmy, tmz, walking,
                  hit, face, ht, hnt, hx, hy, hz) = st
                 inner = dom >= n_regions
-                act = walking & (dom == dmin) & ~in_empty
+                matches = dom == dmin
+                for dk in dmins[1:]:
+                    matches = matches | (dom == dk)
+                act = walking & matches & ~in_empty
                 redge = jnp.where(inner, jnp.int32(1) << resl, REGION)
                 scale = jnp.where(
                     inner, (jnp.int32(1) << resl).astype(jnp.float32), 1.0
@@ -322,9 +349,12 @@ def _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps):
                 lz = jnp.clip(jnp.where(inner, ncz, ncz & 15), 0, 15)
                 edge_l2 = jnp.where(inner, resl, 4)
                 local = (((lx << edge_l2) + ly) << edge_l2) + lz
-                word = jnp.take_along_axis(
-                    row, jnp.clip(local >> 5, 0, 127), axis=-1
-                )
+                widx = jnp.clip(local >> 5, 0, 127)
+                word = jnp.take_along_axis(row, widx, axis=-1)
+                for dk, rk in zip(dmins[1:], rows_loaded[1:]):
+                    word = jnp.where(
+                        dom == dk, jnp.take_along_axis(rk, widx, axis=-1), word
+                    )
                 bit = (word >> (local & 31).astype(jnp.uint32)) & jnp.uint32(1)
                 hit_now = (
                     act & ~out_exit & ~in_exit & ~region_change & (bit == 1)
@@ -416,7 +446,7 @@ _OUT_FIELDS = ("dom", "cx", "cy", "cz", "tmx", "tmy", "tmz",
 
 def _run_kernel(
     rays, state_in, l1, rows, rdims, size, n_regions, max_iters, substeps,
-    interpret,
+    interpret, domains=1, macro=1,
 ):
     """rays/state_in: dicts of flat per-ray arrays [m] (m % 1024 == 0).
     Returns dict of _OUT_FIELDS, each [m]."""
@@ -425,7 +455,10 @@ def _run_kernel(
     m = rays["ox"].shape[0]
     g = m // N_GROUP
     n_domains = rows.shape[0]
-    kern = _make_kernel(rdims, size, n_regions, n_domains, max_iters, substeps)
+    kern = _make_kernel(
+        rdims, size, n_regions, n_domains, max_iters, substeps,
+        domains_per_iter=domains, macro_steps=macro,
+    )
 
     def shape2(a):
         return a.reshape(g * GROUP[0], GROUP[1])
@@ -471,11 +504,13 @@ def _run_kernel(
     static_argnames=(
         "rdims", "n_regions", "options", "include_sky", "phases",
         "kernel_iters", "substeps", "max_rounds", "interpret",
+        "domains", "macro",
     ),
 )
 def _trace_pallas_impl(
     state: SpaceState, o, d, l1, rows, *, rdims, n_regions, options,
     include_sky, phases, kernel_iters, substeps, max_rounds, interpret,
+    domains=1, macro=1,
 ):
     size = state.contents.shape
     size_i = jnp.asarray(size, jnp.int32)
@@ -547,7 +582,7 @@ def _trace_pallas_impl(
         st, saved, hb, fuel = carry
         out = _run_kernel(
             rays, st, l1, rows, rdims, size, n_regions, kernel_iters,
-            substeps, interpret,
+            substeps, interpret, domains, macro,
         )
         hit = out["hit"]
         cell = fetch_cell(out["hx"], out["hy"], out["hz"])
@@ -690,6 +725,8 @@ def trace_rays_pallas(
     max_rounds: int = 48,
     interpret: bool = False,
     return_stats: bool = False,
+    domains: int = 1,
+    macro: int = 1,
 ):
     """trace_rays via the Pallas region-synchronous kernel. Same contract
     as tracer.trace_rays: (light f32[...,3] premultiplied HDR,
@@ -744,6 +781,7 @@ def trace_rays_pallas(
         rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
         include_sky=include_sky, phases=phases, kernel_iters=kernel_iters,
         substeps=substeps, max_rounds=max_rounds, interpret=interpret,
+        domains=domains, macro=macro,
     )
     if tiled_hw is not None:
         H, W, Hp, Wp, T = tiled_hw

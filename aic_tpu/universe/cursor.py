@@ -437,7 +437,7 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
     # Standard interaction fluff (fluff.rs BlockPlaced/BlockDestroyed).
     from .transaction import Fluff
 
-    universe.fluff_buffer.extend(txn.fluff)
+    universe._emit_fluff(txn.fluff)
     # TakeInventory-style operations deposit slots into the actor
     # (op.rs's InventoryTransaction leg).
     for slot in getattr(txn, "inventory_insert", ()):
@@ -448,15 +448,15 @@ def click(universe, character, cursor: Optional[Cursor], button: int = 0) -> boo
         else:
             inv.add(slot)
     if isinstance(tool, PlaceBlock):
-        universe.fluff_buffer.append(Fluff("Place", cursor.preceding_cube))
+        universe._emit_fluff([Fluff("Place", cursor.preceding_cube)])
         if not tool.infinite:
             inv.consume_selected()
     elif isinstance(tool, RemoveBlock):
-        universe.fluff_buffer.append(Fluff("Destroy", cursor.cube))
+        universe._emit_fluff([Fluff("Destroy", cursor.cube)])
         if tool.keep:
             inv.add(PlaceBlock(cursor.block, infinite=False))
     elif isinstance(tool, Activate) or button == 1:
-        universe.fluff_buffer.append(Fluff("Activate", cursor.cube))
+        universe._emit_fluff([Fluff("Activate", cursor.cube)])
     return True
 
 

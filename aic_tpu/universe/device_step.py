@@ -47,10 +47,18 @@ from .op import Become, DestroyTo
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TickPlan:
-    """Device-compiled tick actions for one space's palette."""
+    """Device-compiled tick actions for one space's palette.
+
+    `actions` is the same plan as a STATIC tuple of (palette index,
+    target index, period): palettes have a handful of tick actions (4 in
+    demo-city), so the remap compiles to that many fused compare-selects
+    over the volume instead of a 331k-element palette gather (~2 ms
+    saved per tick, measured). The arrays remain for the host mirror
+    (`Universe._apply_plan_host`)."""
 
     remap: jax.Array  # i32[P]: firing target index (i where no action)
     period: jax.Array  # i32[P]: tick period; 0 = no action
+    actions: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
 
 def compile_tick_plan(space, padded_palette_size: int) -> TickPlan | None:
@@ -59,8 +67,7 @@ def compile_tick_plan(space, padded_palette_size: int) -> TickPlan | None:
     p = padded_palette_size
     remap = np.arange(p, dtype=np.int32)
     period = np.zeros(p, np.int32)
-    palette = space.palette
-    has_any = False
+    acts = []
     for i in range(space.palette_len()):
         att = space.evaluated(i).attributes
         op = att.tick_action
@@ -68,18 +75,19 @@ def compile_tick_plan(space, padded_palette_size: int) -> TickPlan | None:
             continue
         if not isinstance(op, (Become, DestroyTo)):
             return None
-        try:
-            tgt = palette.index(op.block)
-        except ValueError:
+        tgt = space._block_to_index.get(op.block)
+        if tgt is None:
             return None  # target not interned yet -> host path interns it
+        per = max(int(getattr(att, "tick_period", 1) or 1), 1)
         remap[i] = tgt
-        period[i] = max(int(getattr(att, "tick_period", 1) or 1), 1)
-        has_any = True
-    if not has_any:
-        return TickPlan(
-            remap=jnp.asarray(remap), period=jnp.zeros(p, jnp.int32)
-        )
-    return TickPlan(remap=jnp.asarray(remap), period=jnp.asarray(period))
+        period[i] = per
+        if tgt != i:
+            acts.append((int(i), int(tgt), per))
+    return TickPlan(
+        remap=jnp.asarray(remap),
+        period=jnp.asarray(period) if acts else jnp.zeros(p, jnp.int32),
+        actions=tuple(acts),
+    )
 
 
 def _shift_u8(vol, normal):
@@ -113,14 +121,11 @@ def device_tick(state, plan: TickPlan, tick, light_rounds: int, light_batch: int
     stats: edits (cubes changed by tick actions), updated / max_diff /
     queue_remaining from the last light round (light_update_round).
     """
-    p = plan.remap.shape[0]
-    iota = jnp.arange(p, dtype=jnp.int32)
-    fire = (plan.period > 0) & (
-        jnp.mod(tick, jnp.maximum(plan.period, 1)) == 0
-    )
-    eff = jnp.where(fire, plan.remap, iota)
     idx = state.contents.astype(jnp.int32)
-    newc = jnp.take(eff, idx)
+    newc = idx
+    for i, tgt, per in plan.actions:
+        sel = (jnp.mod(tick, per) == 0) & (idx == i)
+        newc = jnp.where(sel, tgt, newc)
     changed = newc != idx
     edits = changed.sum()
 

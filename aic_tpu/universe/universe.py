@@ -195,16 +195,27 @@ class Universe:
         #: aic_tpu/profiling.py). `profiler.report()` is the info-text
         #: payload.
         self.profiler = Profiler()
-        self.light_rounds_per_tick = 2
-        self.light_batch_size = 256
+        # Per-tick light budget (the reference's Deadline-bounded queue,
+        # updater.rs:175-196, processes ~32-cube rayon batches until the
+        # frame budget runs out and DEFERS the rest). One 16-cube round
+        # fits the 60 Hz budget on v5e (measured ~7 ms; relight_batch is
+        # gather-rate-bound, ~0.45 ms/cube at md=30); convergence work
+        # (scene loads, big edits) goes through evaluate_light's dense
+        # passes instead, not this queue.
+        self.light_rounds_per_tick = 1
+        self.light_batch_size = 16
         self._tick_action_index: dict[str, list] = {}
         #: Per-space compiled tick plans (universe/device_step.py): key ->
         #: (cache_token, TickPlan|None). None = the space's actions need
         #: the host path this epoch.
         self._tick_plan_cache: dict[str, tuple] = {}
+        self._tick_closure_epoch: dict[str, int] = {}
         #: Momentary effects emitted this tick (fluff.rs); drained by the
         #: session/frontend (sound playback, particles).
-        self.fluff_buffer: list = []
+        self.fluff_buffer: list = []  # [(seq, fluff)] shared log
+        self._fluff_seq = 0
+        self._fluff_floor = 0
+        self._fluff_cursors: dict = {}
         #: Tag definitions (tag.rs TagDef universe members).
         self.tags: dict[str, object] = {}
 
@@ -377,6 +388,33 @@ class Universe:
         self.states[name] = self.spaces[name].snapshot()
         self._reindex_tick_actions(name)
 
+    def _intern_tick_closure(self, name: str) -> bool:
+        """Eagerly intern every Become/DestroyTo tick-action target (and
+        the targets of the targets: a Become animation chain) into the
+        palette. Without this, each chain frame interns only when its
+        action first FIRES, so the palette keeps growing for a whole
+        animation cycle — every growth recompiles the fused tick program
+        (a 12-35 s stall per growth, measured on demo-city) and keeps
+        `compile_tick_plan` returning None (host per-cube path). Gated on
+        the palette epoch so steady-state ticks pay one dict lookup."""
+        from .op import Become, DestroyTo
+
+        sp = self.spaces[name]
+        if self._tick_closure_epoch.get(name) == sp.epoch:
+            return False
+        grew = False
+        i = 0
+        while i < sp.palette_len():
+            att = sp.evaluated(i).attributes
+            op = att.tick_action
+            if isinstance(op, (Become, DestroyTo)):
+                before = sp.palette_len()
+                sp.ensure_block(op.block)
+                grew = grew or sp.palette_len() != before
+            i += 1
+        self._tick_closure_epoch[name] = sp.epoch
+        return grew
+
     def _tick_plan(self, name: str):
         """Cached device tick plan for one space (device_step.py). The
         cache token is the palette length — palette growth or re-eval
@@ -388,6 +426,9 @@ class Universe:
         st = self.states.get(name)
         if st is None:
             return None
+        if self._intern_tick_closure(name):
+            self.resnapshot(name)
+            st = self.states[name]
         token = (sp.palette_len(), st.tables.padded_palette_size)
         cached = self._tick_plan_cache.get(name)
         if cached is not None and cached[0] == token:
@@ -622,14 +663,33 @@ class Universe:
                 # must cover them even when the device state was
                 # updated in place.
                 self._reindex_tick_actions(name)
-        self.fluff_buffer.extend(txn.fluff)
+        self._emit_fluff(txn.fluff)
         return len(txn.cubes)
 
-    def drain_fluff(self) -> list:
-        """Take this tick's momentary effects (fluff.rs broadcast)."""
-        out = self.fluff_buffer
-        self.fluff_buffer = []
+    def drain_fluff(self, consumer: str = "default") -> list:
+        """Take momentary effects since this consumer's last drain
+        (fluff.rs broadcast). The reference fans fluff out through
+        `listen` notifiers to EVERY subscriber (sound playback AND the
+        renderer's particle sets, gpu/in_wgpu/space.rs:1104); the cursor
+        model here gives each named consumer (audio, particles, tests)
+        its own independent drain of one shared log."""
+        log = self.fluff_buffer
+        cur = self._fluff_cursors.get(consumer, self._fluff_floor)
+        out = [f for seq, f in log if seq >= cur]
+        self._fluff_cursors[consumer] = self._fluff_seq
+        # Bounded retention: keep the most recent 4096 entries so a
+        # consumer appearing late (or draining slowly) still sees recent
+        # events, while nothing pins unbounded history (fluff is
+        # momentary — losing ancient entries is correct behavior).
+        if len(log) > 4096:
+            self.fluff_buffer = log[-4096:]
+            self._fluff_floor = self.fluff_buffer[0][0]
         return out
+
+    def _emit_fluff(self, items) -> None:
+        for f in items:
+            self.fluff_buffer.append((self._fluff_seq, f))
+            self._fluff_seq += 1
 
     # -- garbage collection (universe/gc.rs:55) -----------------------------
 

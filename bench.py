@@ -132,7 +132,12 @@ def run_suite(smoke: bool = False):
             state = make_space().snapshot()
             n_cubes = int(np.prod(state.contents.shape))
             ctx = build_relight_ctx(state)
-            warm, _ = evaluate_light_dense(state, max_passes=1, ctx=ctx)
+            # Warm with the SAME program that is timed: max_passes is a
+            # static jit arg, so a max_passes=1 warmup compiles a
+            # different program and the timed run eats the full
+            # convergence-loop compile (~13 s was attributed to the r4
+            # light_bench measurement this way).
+            warm, _ = evaluate_light_dense(state, ctx=ctx)
             _sync(warm.light)
             t0 = time.perf_counter()
             lit, passes = evaluate_light_dense(state, ctx=ctx)

@@ -288,9 +288,9 @@ class TestAudio:
         s = Session(u, viewport=Viewport(8, 8))
         path = tmp_path / "out.wav"
         audio = SessionAudio(s, WavFileSink(str(path)))
-        u.fluff_buffer.append(Fluff("Place", (4, 4, 4)))
+        u._emit_fluff([Fluff("Place", (4, 4, 4))])
         assert audio.pump(now=0.0) == 1
-        u.fluff_buffer.append(Fluff("Destroy", (4, 4, 4)))
+        u._emit_fluff([Fluff("Destroy", (4, 4, 4))])
         assert audio.pump(now=0.25) == 1
         audio.flush()
         with wave.open(str(path)) as w:
@@ -440,3 +440,43 @@ class TestDebugOptions:
         o1, d1 = c1.project_ndc_into_world(np.array([0.0, 0.0]))
         o2, d2 = c2.project_ndc_into_world(np.array([0.0, 0.0]))
         assert abs(d2[2]) < abs(d1[2]) * 0.6  # far plane halved
+
+
+class TestFluffParticles:
+    """Fluff → transient particles in the session renderer
+    (gpu/in_wgpu/space.rs:1104 particle sets role)."""
+
+    def test_fluff_fans_out_to_named_consumers(self):
+        from aic_tpu.content.template import TemplateParameters, build_universe
+        from aic_tpu.universe.transaction import Fluff
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u._emit_fluff([Fluff("Place", (1, 1, 1))])
+        assert len(u.drain_fluff("audio")) == 1
+        assert len(u.drain_fluff("particles")) == 1  # independent cursor
+        assert u.drain_fluff("audio") == []
+        u._emit_fluff([Fluff("Destroy", (2, 2, 2))])
+        assert len(u.drain_fluff("particles")) == 1
+
+    def test_particles_render_and_expire(self):
+        import numpy as np
+
+        from aic_tpu.apps.session import Session
+        from aic_tpu.content.template import TemplateParameters, build_universe
+        from aic_tpu.raytrace import Viewport
+        from aic_tpu.universe.transaction import Fluff
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        u.light_rounds_per_tick = 0
+        s = Session(u, viewport=Viewport(32, 32))
+        base = s.render().data.copy()
+        u._emit_fluff([Fluff("Destroy", (4, 4, 4))])
+        s.maybe_step(now=100.0)
+        assert len(s.particles) == 1
+        with_particles = s.render().data
+        assert (with_particles[..., :3] != base[..., :3]).any()
+        # Particles age out after particle_lifetime_ticks steps.
+        s.particle_lifetime_ticks = 2
+        s.maybe_step(now=100.1)
+        s.maybe_step(now=100.2)
+        assert s.particles == []
