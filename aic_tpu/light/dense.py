@@ -541,8 +541,9 @@ def _pallas_split(state: SpaceState, ctx: RelightCtx | None = None) -> int:
         return 0
     from .pallas_relight import vmem_estimate_bytes
 
-    # Estimates well past physical VMEM skip the compile attempts.
-    if vmem_estimate_bytes(state.contents.shape) > 64 * (1 << 20):
+    # Estimates well past physical VMEM even at the finest mirror split
+    # skip the compile attempts entirely.
+    if vmem_estimate_bytes(state.contents.shape, n_groups=8) > 64 * (1 << 20):
         return 0
     from .pallas_relight import _resolve_split
 

@@ -164,13 +164,15 @@ def _guard_rows(xp16):
     return xp16 + 16
 
 
-def vmem_estimate_bytes(size) -> int:
-    """Rough VMEM need of the pass kernel (inputs + scratch + outs)."""
+def vmem_estimate_bytes(size, n_groups: int = 1) -> int:
+    """Rough VMEM need of one pass-kernel program at a mirror-group
+    split of `n_groups` (8/n_groups mirrors resident per program)."""
     xp16, yp, zp, lanes = _plane_shape(size)
     bf = xp16 * lanes * 2
     f32 = xp16 * lanes * 4
     inputs = (24 + 6 + 6) * bf + 2 * 2 * _guard_rows(xp16) * lanes * 2 + 4 * f32
-    scratch = 8 * (f32 + bf + 3 * bf)  # alpha + rw + prev per mirror
+    mirrors = 8 // max(n_groups, 1)
+    scratch = mirrors * (f32 + bf + 3 * bf)  # alpha + rw + prev per mirror
     outs = 4 * f32
     temps = 12 * bf
     return inputs + scratch + outs + temps
@@ -643,7 +645,18 @@ def _resolve_split(state: SpaceState, ctx: RelightCtx) -> int:
     if jax.default_backend() != "tpu":
         _BEST_SPLIT[key] = 1
         return 1
-    for n_groups in _GROUPINGS:
+    # Start at the first candidate whose VMEM estimate fits a generous
+    # cap: a failed compile is only discovered AFTER the full (minutes-
+    # long on the remote relay) Mosaic compile, so definitely-too-big
+    # candidates are worth skipping up front. The estimate only ORDERS —
+    # eligibility is still decided by an actual compile (the r3 lesson:
+    # an estimate-based hard gate silently locked the kernel out).
+    cap = 15 << 20  # ~16 MiB/core VMEM on v5e, minus headroom
+    shape = tuple(state.contents.shape)
+    candidates = [
+        g for g in _GROUPINGS if vmem_estimate_bytes(shape, g) <= cap
+    ] or [_GROUPINGS[-1]]
+    for n_groups in candidates:
         try:
             jax.jit(
                 functools.partial(relight_all_pass_pallas, n_groups=n_groups)
