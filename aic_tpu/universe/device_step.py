@@ -65,6 +65,11 @@ def compile_tick_plan(space, padded_palette_size: int) -> TickPlan | None:
     """Compile the space's tick actions to a palette remap, or None when
     any action needs the host path (see module docstring)."""
     p = padded_palette_size
+    if space.palette_len() > p:
+        # Host palette outgrew the device tables: the caller must
+        # resnapshot before a device plan is valid. Returning None takes
+        # the host path for this tick instead of writing out of bounds.
+        return None
     remap = np.arange(p, dtype=np.int32)
     period = np.zeros(p, np.int32)
     acts = []

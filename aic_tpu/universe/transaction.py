@@ -154,7 +154,6 @@ class SpaceTransaction:
         positions = []
         new_idx = []
         pal_before = space.palette_len()
-        pad = state.tables.padded_palette_size if state is not None else None
         for cube, edit in self.cubes.items():
             if edit.new is None:
                 continue
@@ -169,8 +168,12 @@ class SpaceTransaction:
             new_idx.append(idx)
         if state is None:
             return None
-        if space.palette_len() > (pad or 0):
-            return None  # tables must be rebuilt (snapshot again)
+        if space.palette_len() != pal_before:
+            # ANY palette growth invalidates the device tables — entries
+            # interned above have air rows in `state.tables`, so a
+            # scatter against the old tables would render/relight the new
+            # blocks as air. The caller must resnapshot (content-time).
+            return None
         if not positions:
             return state
         import jax.numpy as jnp

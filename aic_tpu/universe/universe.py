@@ -361,6 +361,14 @@ class Universe:
     def insert_character(self, name: str, space_name: str, position) -> Character:
         import jax
 
+        if name in self.characters:
+            # Duplicate member names are an insertion error in the
+            # reference (universe.rs UniverseTransaction::insert →
+            # InsertError::AlreadyExists); silently shadowing the old
+            # Character would leave its body row orphaned in the batch.
+            raise ValueError(
+                f"character {name!r} already exists in this universe"
+            )
         body = Body.make(position=position)
         idx = len(self.body_space)
         if self.bodies is None:
@@ -426,7 +434,13 @@ class Universe:
         st = self.states.get(name)
         if st is None:
             return None
-        if self._intern_tick_closure(name):
+        if (
+            self._intern_tick_closure(name)
+            or sp.palette_len() > st.tables.padded_palette_size
+        ):
+            # The second arm enforces the invariant palette_len ≤ padded
+            # size even when growth arrived through a path that didn't
+            # resnapshot (defense in depth for the round-4 crash class).
             self.resnapshot(name)
             st = self.states[name]
         token = (sp.palette_len(), st.tables.padded_palette_size)
@@ -494,8 +508,13 @@ class Universe:
         device_ticked: set = set()
         with prof.span("tick_actions"):
             for name in self.spaces:
-                st = self.states.get(name)
+                # _tick_plan may intern tick-closure blocks, grow the
+                # palette and RESNAPSHOT the device state — read the
+                # state only afterwards (reading it before handed the
+                # stale pre-growth tables to device_tick and clobbered
+                # the resnapshot, the round-4 demo-city step-1 crash).
                 plan = self._tick_plan(name)
+                st = self.states.get(name)
                 if plan is not None and st is not None and st.light_enabled:
                     from .device_step import device_tick
 

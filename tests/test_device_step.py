@@ -126,6 +126,85 @@ class TestDeviceHostEquivalence:
         assert info.space_edits == 2
         assert info.light_updates >= 0
 
+    def test_palette_growth_past_padding_resnapshots(self):
+        """Round-4 regression (VERDICT r4 weak #1): demo-city's palette
+        grew past the device tables' padded size during step 0 (tick-
+        closure interning), but step() captured the device state BEFORE
+        _tick_plan resnapshotted and clobbered the rebuild — step 1 then
+        crashed in compile_tick_plan (remap write out of bounds).
+
+        Grow a palette from exactly its padding boundary via un-interned
+        Become targets and step repeatedly: the invariant
+        palette_len <= padded_palette_size must hold after every step."""
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (6, 6, 6)))
+        # Fill the palette to a multiple of 8 (air + 7 = 8 = padded size).
+        for i in range(7):
+            sp.set((i % 6, 0, 0), block.from_color(
+                (0.1 + i * 0.1, 0.2, 0.3, 1.0), display_name=f"fill{i}"
+            ))
+        pal0 = sp.palette_len()
+        # A Become chain whose frames are NOT interned yet: each frame's
+        # target interns at plan time (tick-closure), growing the palette
+        # past the current padding.
+        frames = [
+            block.from_color((0.9, 0.05 * i, 0.1, 1.0), display_name=f"f{i}")
+            for i in range(6)
+        ]
+        chain = [
+            f.with_attributes(tick_action=Become(frames[(i + 1) % 6]))
+            for i, f in enumerate(frames)
+        ]
+        for i, f in enumerate(chain[1:]):
+            chain[i] = chain[i].with_attributes(tick_action=Become(chain[i + 1]))
+        sp.set((5, 5, 5), chain[0])
+        u = _universe_with(sp)
+        st = u.states["w"]
+        assert sp.palette_len() <= st.tables.padded_palette_size
+        for _ in range(8):
+            u.step()
+            sp2, st2 = u.spaces["w"], u.states["w"]
+            assert sp2.palette_len() <= st2.tables.padded_palette_size, (
+                sp2.palette_len(), st2.tables.padded_palette_size
+            )
+        assert u.spaces["w"].palette_len() > pal0
+
+    def test_behavior_commit_growth_keeps_tables_fresh(self):
+        """A behavior interning a brand-new block each step grows the
+        palette through txn.commit: the device tables must track the
+        growth (new entries must not render as stale air rows)."""
+        from aic_tpu.universe import Behavior
+        from aic_tpu.universe.transaction import (
+            SpaceTransaction,
+            UniverseTransaction,
+        )
+
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (6, 6, 6)))
+        u = _universe_with(sp)
+
+        class Grower(Behavior):
+            n = 0
+
+            def step(self, universe, host, tick):
+                b = block.from_color(
+                    (0.2, 0.3, 0.1 + 0.05 * Grower.n, 1.0),
+                    display_name=f"grown{Grower.n}",
+                )
+                txn = SpaceTransaction.set_cube((Grower.n % 6, 1, 1), new=b)
+                Grower.n += 1
+                return UniverseTransaction(spaces={host: txn}), "step"
+
+        u.add_behavior("w", Grower())
+        for i in range(10):
+            u.step()
+            sp2, st2 = u.spaces["w"], u.states["w"]
+            assert sp2.palette_len() <= st2.tables.padded_palette_size
+            # The freshly-written cube's palette row must be live (not an
+            # air row): its face colors carry the block's color.
+            cube = ((i) % 6, 1, 1)
+            idx = int(np.asarray(st2.contents)[cube])
+            fc = np.asarray(st2.tables.face_colors)[idx]
+            assert fc[6, 3] > 0.0, f"stale air row for palette entry {idx}"
+
     def test_dirty_marks_cover_neighbors(self):
         sp, _ = _blinker_space()
         u = _universe_with(sp)

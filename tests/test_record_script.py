@@ -62,9 +62,12 @@ class TestPerformanceBehavior:
         from aic_tpu.apps.record_script import CameraScript, Performance
         from aic_tpu.content.template import TemplateParameters, build_universe
 
+        # build_universe already inserts the "player" character (body 0);
+        # drive THAT body — a second insert_character("player") is a
+        # duplicate-name error (universe.rs InsertError::AlreadyExists).
         u = build_universe("cornell-box", TemplateParameters(size=8))
         u.light_rounds_per_tick = 0
-        u.insert_character("player", next(iter(u.spaces)), (4.0, 4.0, 4.0))
+        idx = u.characters["player"].body_index
         s = CameraScript.from_dict(
             {
                 "position": {"times": [0.0, 1.0], "values": [[1, 6, 1], [7, 6, 7]]},
@@ -73,14 +76,23 @@ class TestPerformanceBehavior:
         )
         u.add_behavior("player", Performance(s))
         u.step()
-        pos = np.asarray(u.bodies.position)[0]
-        np.testing.assert_allclose(pos, [1, 6, 1], atol=1e-5)
+        pos = np.asarray(u.bodies.position)[idx]
+        # Physics runs after behaviors (space/step.rs ordering), so the
+        # scripted position carries one tick of gravity (g·dt² ≈ 6e-3).
+        np.testing.assert_allclose(pos, [1, 6, 1], atol=2e-2)
         # Look direction (0,0,-1) → yaw 0, pitch 0.
-        assert abs(float(np.asarray(u.bodies.yaw)[0])) < 1e-4
+        assert abs(float(np.asarray(u.bodies.yaw)[idx])) < 1e-4
         for _ in range(30):
             u.step()
-        pos = np.asarray(u.bodies.position)[0]
+        pos = np.asarray(u.bodies.position)[idx]
         assert pos[0] > 1.5  # moved along the scripted path
+
+    def test_insert_duplicate_character_raises(self):
+        from aic_tpu.content.template import TemplateParameters, build_universe
+
+        u = build_universe("cornell-box", TemplateParameters(size=8))
+        with pytest.raises(ValueError, match="already exists"):
+            u.insert_character("player", next(iter(u.spaces)), (4.0, 4.0, 4.0))
 
     def test_record_cli_accepts_script(self, tmp_path):
         import subprocess
