@@ -95,6 +95,7 @@ class TestPerformanceBehavior:
             u.insert_character("player", next(iter(u.spaces)), (4.0, 4.0, 4.0))
 
     def test_record_cli_accepts_script(self, tmp_path):
+        import os
         import subprocess
         import sys
 
@@ -121,7 +122,19 @@ class TestPerformanceBehavior:
             capture_output=True,
             text=True,
             timeout=600,
-            env={"JAX_PLATFORMS": "cpu", **__import__("os").environ},
+            # Hermetic CPU subprocess: PALLAS_AXON_* would make the TPU
+            # plugin's sitecustomize dial the single-session device relay
+            # at interpreter start, which blocks forever while the parent
+            # pytest process holds its own session (observed as a futex
+            # hang before any output).
+            env={
+                **{
+                    k: v
+                    for k, v in os.environ.items()
+                    if not k.startswith("PALLAS_AXON")
+                },
+                "JAX_PLATFORMS": "cpu",
+            },
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert out.exists()
