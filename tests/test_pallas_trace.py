@@ -98,10 +98,11 @@ def scene_voxels():
 
 
 class TestKernelParity:
-    def test_atoms_plain(self):
+    @pytest.mark.parametrize("mega", [False, True])
+    def test_atoms_plain(self, mega):
         st = scene_atoms()
         o, d = grid_rays(32, 32, -3.0, (0.1, 23.9), (0.1, 23.9), (1.0, 0.12, 0.07))
-        compare(st, o, d, OPTS_PLAIN)
+        compare(st, o, d, OPTS_PLAIN, megakernel=mega)
 
     def test_atoms_volumetric_smoothstep_fog(self):
         st = scene_atoms()
@@ -112,10 +113,11 @@ class TestKernelParity:
         o, d = grid_rays(32, 32, -3.0, (0.1, 23.9), (0.1, 23.9), (1.0, 0.12, 0.07))
         compare(st, o, d, opts)
 
-    def test_voxel_blocks(self):
+    @pytest.mark.parametrize("mega", [False, True])
+    def test_voxel_blocks(self, mega):
         st = scene_voxels()
         o, d = grid_rays(32, 32, -2.0, (0.05, 19.95), (0.05, 19.95), (1.0, 0.08, 0.05))
-        compare(st, o, d, OPTS_PLAIN)
+        compare(st, o, d, OPTS_PLAIN, megakernel=mega)
 
     def test_voxel_blocks_volumetric(self):
         st = scene_voxels()
