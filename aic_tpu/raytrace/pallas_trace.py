@@ -727,16 +727,26 @@ def trace_rays_pallas(
     return_stats: bool = False,
     domains: int = 1,
     macro: int = 1,
+    megakernel: bool | None = None,
 ):
     """trace_rays via the Pallas region-synchronous kernel. Same contract
     as tracer.trace_rays: (light f32[...,3] premultiplied HDR,
     transmittance f32[...]); with return_stats appends
     {"unfinished": bool} (Flaws::UNFINISHED analog).
 
+    `megakernel` selects the v2 kernel (in-kernel voxel-block
+    classification + entry; one launch per phase). None = auto: v2
+    whenever its tables fit.
+
     Raises ValueError for states the kernel can't hold (> 4096 regions or
     voxel resolution > 16) — callers fall back to the XLA tracer.
     """
-    ctx = get_bitmask_ctx(state)
+    if megakernel is None:
+        megakernel = _megakernel_fits(state)
+    if megakernel:
+        ctx = get_bitmask_ctx2(state)
+    else:
+        ctx = get_bitmask_ctx(state)
     batch_shape = origins.shape[:-1]
     o = origins.reshape(-1, 3).astype(jnp.float32) - jnp.asarray(
         state.lower, jnp.float32
@@ -776,13 +786,25 @@ def trace_rays_pallas(
         o = jnp.concatenate([o, o_pad], axis=0)
         d = jnp.concatenate([d, d_pad], axis=0)
 
-    light, trans, unfinished = _trace_pallas_impl(
-        state, o, d, ctx.l1, ctx.rows,
-        rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
-        include_sky=include_sky, phases=phases, kernel_iters=kernel_iters,
-        substeps=substeps, max_rounds=max_rounds, interpret=interpret,
-        domains=domains, macro=macro,
-    )
+    if megakernel:
+        # v2 defaults: one long launch per phase; small relaunch fuel.
+        kit = 256 if kernel_iters == 48 else kernel_iters
+        mr = 8 if max_rounds == 48 else max_rounds
+        light, trans, unfinished = _trace_pallas_impl2(
+            state, o, d, ctx.l1, ctx.rows, ctx.page_idx, ctx.pages,
+            rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
+            include_sky=include_sky, phases=phases, kernel_iters=kit,
+            substeps=substeps, max_rounds=mr, interpret=interpret,
+            domains=domains, macro=macro, has_vox=ctx.pages is not None,
+        )
+    else:
+        light, trans, unfinished = _trace_pallas_impl(
+            state, o, d, ctx.l1, ctx.rows,
+            rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
+            include_sky=include_sky, phases=phases, kernel_iters=kernel_iters,
+            substeps=substeps, max_rounds=max_rounds, interpret=interpret,
+            domains=domains, macro=macro,
+        )
     if tiled_hw is not None:
         H, W, Hp, Wp, T = tiled_hw
 
@@ -799,3 +821,700 @@ def trace_rays_pallas(
     if return_stats:
         return light, trans, {"unfinished": unfinished}
     return light, trans
+
+
+# ---------------------------------------------------------------------------
+# Megakernel (v2): in-kernel voxel-block classification + entry
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel only FINDS surfaces; every voxel-block (Recur) surface
+# event bounces through XLA (classify via packed cells, compute inner
+# entry registers, relaunch). On atrium — whose architecture is R16
+# blocks — that alternation dominates frame time. The megakernel keeps
+# the whole surface cascade on the VPU:
+#
+# - A second bit row per region marks VOXEL-BLOCK cubes (`vox`), built
+#   from the same predicate as the packed cells' VOXEL_BIT
+#   (accel.py pack_cells).
+# - Per region with >= 1 voxel-block cube, a 16-row VMEM "ventry page"
+#   stores, per cube, u16 = ventry | res_log2 << 12 (2 per u32 word);
+#   a scalar i32 table maps region -> page (-1 when the region has no
+#   voxel blocks). Scalar VMEM reads by traced index are free on this
+#   chip (light/pallas_relight.py tbl_ref pattern).
+# - Ray modes replace the walking flag: 0 done, 1 walking, 2 awaiting
+#   classification (outer surface recorded), 3 restoring (left a voxel
+#   grid). Classification runs ONCE per outer loop iteration,
+#   min-domain-synchronously like fine stepping: resolve atom -> final
+#   hit, voxel block -> save outer DDA registers in the carry and enter
+#   the inner domain (the recursive_raycast push, raycast.rs:458);
+#   restore pops them (the pop).
+#
+# The XLA orchestration around it shrinks to: one kernel launch per
+# phase (plus fuel-exhaustion relaunches), one packed-cell gather to
+# resolve ATOM palette ids for final hits, then shading — no per-surface
+# relaunch, no per-round classification glue.
+
+MODE_DONE = 0
+MODE_WALK = 1
+MODE_CLASSIFY = 2
+MODE_RESTORE = 3
+
+
+class BitmaskCtx2(NamedTuple):
+    rows: jax.Array  # u32[n_domains, 128] visibility bits (regions + ventries)
+    l1: jax.Array  # u32[1, 128]
+    page_idx: jax.Array | None  # i32[n_regions_pad, 8] region -> page or -1
+    pages: jax.Array | None  # u32[n_pages*16, 128] u16 classify codes, 2/word
+    rdims: tuple
+    size: tuple
+    n_regions: int
+    n_ventries: int
+
+
+def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
+    """v2 context: v1 rows + per-region classify pages.
+
+    A page stores, per cube, u16 code = `0x8000 | res_log2<<12 | ventry`
+    for voxel-block cubes and `palette_index` (bit 15 clear) for atoms —
+    everything the kernel needs to either finalize an atom hit (palette
+    id for shading) or push into the block's voxel grid, with no XLA
+    round trip (the packed-cells gather measured 16.9 ms per round on
+    atrium 1080p). Scenes with NO voxel blocks skip pages entirely: the
+    kernel finalizes every outer hit and atom palette ids resolve in one
+    XLA gather per phase (cheap at sub-megaray counts; such scenes also
+    tend to be the huge-volume ones where pages would not fit VMEM)."""
+    base = build_bitmask_ctx(state)
+    t = state.tables
+    contents = np.asarray(state.contents)
+    visible = np.asarray(t.visible)[contents]
+    voxel_index = np.asarray(t.voxel_index)
+    res_log2 = np.asarray(t.res_log2)
+    ventry_cube = voxel_index[contents]  # -1 for atoms/air
+    vox_cube = visible & (ventry_cube >= 0)
+    if not vox_cube.any():
+        return BitmaskCtx2(
+            rows=base.rows, l1=base.l1, page_idx=None, pages=None,
+            rdims=base.rdims, size=base.size, n_regions=base.n_regions,
+            n_ventries=base.n_ventries,
+        )
+    res_cube = res_log2[contents]
+    code = np.where(
+        vox_cube,
+        0x8000 | (ventry_cube & 0xFFF) | (res_cube.astype(np.int64) << 12),
+        contents,
+    ).astype(np.uint32)
+
+    rd = base.rdims
+    n_regions = base.n_regions
+    page_idx = np.full(n_regions, -1, np.int32)
+    page_list = []
+    for rx in range(rd[0]):
+        for ry in range(rd[1]):
+            for rz in range(rd[2]):
+                rid = (rx * rd[1] + ry) * rd[2] + rz
+                sl = np.s_[
+                    rx * REGION : (rx + 1) * REGION,
+                    ry * REGION : (ry + 1) * REGION,
+                    rz * REGION : (rz + 1) * REGION,
+                ]
+                if not visible[sl].any():
+                    continue  # never hit -> no page
+                # u16 page: REGION³ codes, index (x*16+y)*16+z, 2/word.
+                codes = np.zeros((REGION, REGION, REGION), np.uint32)
+                s = code[sl]
+                codes[: s.shape[0], : s.shape[1], : s.shape[2]] = s
+                flat = codes.reshape(-1)
+                words = flat[0::2] | (flat[1::2] << 16)
+                page_idx[rid] = len(page_list)
+                page_list.append(words.reshape(16, 128).astype(np.uint32))
+    # Pad the page count to a multiple of 8 so small occupancy changes
+    # between animation frames keep the pages array shape (and thus the
+    # jitted tracer program) stable.
+    while len(page_list) % 8:
+        page_list.append(np.zeros((16, 128), np.uint32))
+    pages = np.concatenate(page_list, axis=0)
+    npad = -(-n_regions // 8) * 8
+    pidx = np.zeros((npad, 8), np.int32)
+    pidx[:n_regions, 0] = page_idx
+    return BitmaskCtx2(
+        rows=base.rows, l1=base.l1,
+        page_idx=jnp.asarray(pidx),
+        pages=jnp.asarray(pages),
+        rdims=base.rdims, size=base.size, n_regions=base.n_regions,
+        n_ventries=base.n_ventries,
+    )
+
+
+_CTX2_CACHE: dict = {}
+
+
+def get_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
+    key = id(state.cells)
+    ctx = _CTX2_CACHE.get(key)
+    if ctx is None:
+        ctx = build_bitmask_ctx2(state)
+        if len(_CTX2_CACHE) >= 8:
+            _CTX2_CACHE.pop(next(iter(_CTX2_CACHE)))
+        _CTX2_CACHE[key] = ctx
+    return ctx
+
+
+def _megakernel_fits(state: SpaceState) -> bool:
+    """True when the v2 tables fit comfortably in VMEM for this state.
+    Builds (and caches) the ctx; raises the same ValueErrors as v1 for
+    states no pallas kernel can hold."""
+    if state.tables.visible.shape[0] > 0x8000:
+        return False  # atom palette id must fit the 15-bit classify code
+    ctx2 = get_bitmask_ctx2(state)
+    table_bytes = ctx2.rows.size * 4 + 512
+    if ctx2.pages is not None:
+        table_bytes += ctx2.page_idx.size * 4 + ctx2.pages.size * 4
+    return table_bytes <= 10 << 20
+
+
+#: v2 per-ray state threading through kernel launches (all [m]).
+_STATE2_FIELDS = (
+    "dom", "cx", "cy", "cz", "tmx", "tmy", "tmz",
+    "tdx", "tdy", "tdz", "resl", "mode",
+    "hit", "pidx", "face", "t", "nt", "hx", "hy", "hz",
+    "sdom", "scx", "scy", "scz", "stmx", "stmy", "stmz",
+)
+_STATE2_DTYPES = {
+    "dom": jnp.int32, "cx": jnp.int32, "cy": jnp.int32, "cz": jnp.int32,
+    "tmx": jnp.float32, "tmy": jnp.float32, "tmz": jnp.float32,
+    "tdx": jnp.float32, "tdy": jnp.float32, "tdz": jnp.float32,
+    "resl": jnp.int32, "mode": jnp.int32,
+    "hit": jnp.int32, "pidx": jnp.int32, "face": jnp.int32,
+    "t": jnp.float32, "nt": jnp.float32,
+    "hx": jnp.int32, "hy": jnp.int32, "hz": jnp.int32,
+    "sdom": jnp.int32, "scx": jnp.int32, "scy": jnp.int32, "scz": jnp.int32,
+    "stmx": jnp.float32, "stmy": jnp.float32, "stmz": jnp.float32,
+}
+
+
+def _make_kernel2(
+    rdims, size, n_regions, n_domains, max_iters, substeps, has_vox,
+    macro_steps=1, domains_per_iter=1,
+):
+    rdy, rdz = rdims[1], rdims[2]
+    sx, sy, sz = size
+
+    def region_id(cx, cy, cz):
+        return ((cx >> 4) * rdy + (cy >> 4)) * rdz + (cz >> 4)
+
+    def kernel(*refs):
+        from jax.experimental import pallas as pl
+
+        (ox_ref, oy_ref, oz_ref, dxr, dyr, dzr,
+         ivxr, ivyr, ivzr, stxr, styr, stzr) = refs[:12]
+        st_refs = refs[12 : 12 + len(_STATE2_FIELDS)]
+        k = 12 + len(_STATE2_FIELDS)
+        l1_ref = refs[k]
+        rows_ref = refs[k + 1]
+        if has_vox:
+            pidx_ref = refs[k + 2]
+            pages_ref = refs[k + 3]
+            out_refs = refs[k + 4 :]
+        else:
+            out_refs = refs[k + 2 :]
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dxr[:], dyr[:], dzr[:]
+        ivx, ivy, ivz = ivxr[:], ivyr[:], ivzr[:]
+        stx, sty, stz = stxr[:], styr[:], stzr[:]
+        spx = (stx > 0).astype(jnp.int32)
+        spy = (sty > 0).astype(jnp.int32)
+        spz = (stz > 0).astype(jnp.int32)
+        l1row = jnp.broadcast_to(l1_ref[0:1, :], GROUP)
+        # 1e-4/d_len entry nudge (round_body parity).
+        nud = jnp.float32(1e-4) / jnp.sqrt(
+            jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)
+        )
+
+        def body(carry):
+            it = carry[0]
+            s = dict(zip(_STATE2_FIELDS, carry[1:]))
+            walking = s["mode"] == MODE_WALK
+            dom, cx, cy, cz = s["dom"], s["cx"], s["cy"], s["cz"]
+            tmx, tmy, tmz = s["tmx"], s["tmy"], s["tmz"]
+
+            def macro_once(dom, cx, cy, cz, tmx, tmy, tmz, walking):
+                inner = dom >= n_regions
+                dom_c = jnp.clip(dom, 0, MAX_REGIONS - 1)
+                l1w = jnp.take_along_axis(l1row, dom_c >> 5, axis=-1)
+                l1bit = (l1w >> (dom_c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                inb = (
+                    (cx >= 0) & (cx < sx) & (cy >= 0) & (cy < sy)
+                    & (cz >= 0) & (cz < sz)
+                )
+                in_empty = walking & ~inner & (l1bit == 0) & inb
+                rbx = ((cx >> 4) + spx) << 4
+                rby = ((cy >> 4) + spy) << 4
+                rbz = ((cz >> 4) + spz) << 4
+                rtx = jnp.where(stx == 0, _INF, (rbx.astype(jnp.float32) - ox) * ivx)
+                rty = jnp.where(sty == 0, _INF, (rby.astype(jnp.float32) - oy) * ivy)
+                rtz = jnp.where(stz == 0, _INF, (rbz.astype(jnp.float32) - oz) * ivz)
+                rax = _argmin3(rtx, rty, rtz)
+                rt = jnp.minimum(rtx, jnp.minimum(rty, rtz))
+                fx = jnp.floor(ox + dx * rt).astype(jnp.int32)
+                fy = jnp.floor(oy + dy * rt).astype(jnp.int32)
+                fz = jnp.floor(oz + dz * rt).astype(jnp.int32)
+                fx = jnp.clip(fx, (cx >> 4) << 4, ((cx >> 4) << 4) + 15)
+                fy = jnp.clip(fy, (cy >> 4) << 4, ((cy >> 4) << 4) + 15)
+                fz = jnp.clip(fz, (cz >> 4) << 4, ((cz >> 4) << 4) + 15)
+                bx = jnp.where(stx > 0, rbx, rbx - 1)
+                by = jnp.where(sty > 0, rby, rby - 1)
+                bz = jnp.where(stz > 0, rbz, rbz - 1)
+                ecx = jnp.where(rax == 0, bx, fx)
+                ecy = jnp.where(rax == 1, by, fy)
+                ecz = jnp.where(rax == 2, bz, fz)
+                exits = (
+                    (ecx < 0) | (ecx >= sx) | (ecy < 0) | (ecy >= sy)
+                    | (ecz < 0) | (ecz >= sz)
+                )
+                adv = in_empty & ~exits
+                cx = jnp.where(adv, ecx, cx)
+                cy = jnp.where(adv, ecy, cy)
+                cz = jnp.where(adv, ecz, cz)
+                ntx = jnp.where(stx == 0, _INF, ((cx + spx).astype(jnp.float32) - ox) * ivx)
+                nty = jnp.where(sty == 0, _INF, ((cy + spy).astype(jnp.float32) - oy) * ivy)
+                ntz = jnp.where(stz == 0, _INF, ((cz + spz).astype(jnp.float32) - oz) * ivz)
+                tmx = jnp.where(adv, ntx, tmx)
+                tmy = jnp.where(adv, nty, tmy)
+                tmz = jnp.where(adv, ntz, tmz)
+                dom = jnp.where(adv, region_id(cx, cy, cz), dom)
+                walking = walking & ~(in_empty & exits)
+                return dom, cx, cy, cz, tmx, tmy, tmz, walking, in_empty
+
+            for _ in range(macro_steps):
+                (dom, cx, cy, cz, tmx, tmy, tmz, walking, in_empty) = macro_once(
+                    dom, cx, cy, cz, tmx, tmy, tmz, walking
+                )
+            s["mode"] = jnp.where(
+                s["mode"] == MODE_WALK,
+                jnp.where(walking, MODE_WALK, MODE_DONE),
+                s["mode"],
+            )
+            s.update(dom=dom, cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy, tmz=tmz)
+
+            # ---- min-domain synchronous fine stepping ------------------
+            # `domains_per_iter` distinct domains advance per iteration
+            # (one scalar row load each); divergent groups — e.g. a tile
+            # whose rays entered voxel grids of several different block
+            # types — serialize 1/K as often.
+            cand = walking & ~in_empty
+            dmins = []
+            rows_loaded = []
+            remaining = cand
+            for _k in range(domains_per_iter):
+                dk = jnp.min(jnp.where(remaining, dom, _BIG))
+                safe_dk = jnp.maximum(jnp.minimum(dk, n_domains - 1), 0)
+                rk = rows_ref[pl.dslice(safe_dk, 1), :]
+                dmins.append(dk)
+                rows_loaded.append(jnp.broadcast_to(rk, GROUP))
+                remaining = remaining & (dom != dk)
+
+            def fine_step(s):
+                dom, cx, cy, cz = s["dom"], s["cx"], s["cy"], s["cz"]
+                tmx, tmy, tmz = s["tmx"], s["tmy"], s["tmz"]
+                mode, resl = s["mode"], s["resl"]
+                inner = dom >= n_regions
+                matches = dom == dmins[0]
+                for dk in dmins[1:]:
+                    matches = matches | (dom == dk)
+                act = (mode == MODE_WALK) & matches & ~in_empty
+                # Per-axis t increments ride the carry (set at entry /
+                # push / pop), replacing an abs+div per axis per substep.
+                redge = jnp.where(inner, jnp.int32(1) << resl, REGION)
+
+                ax = _argmin3(tmx, tmy, tmz)
+                t_hit = jnp.minimum(tmx, jnp.minimum(tmy, tmz))
+                stax = jnp.where(ax == 0, stx, jnp.where(ax == 1, sty, stz))
+                f = jnp.where(stax > 0, ax, ax + 3)
+                ncx = cx + jnp.where(ax == 0, stx, 0)
+                ncy = cy + jnp.where(ax == 1, sty, 0)
+                ncz = cz + jnp.where(ax == 2, stz, 0)
+                utx = tmx + jnp.where(ax == 0, s["tdx"], 0.0)
+                uty = tmy + jnp.where(ax == 1, s["tdy"], 0.0)
+                utz = tmz + jnp.where(ax == 2, s["tdz"], 0.0)
+
+                out_exit = ~inner & (
+                    (ncx < 0) | (ncx >= sx) | (ncy < 0) | (ncy >= sy)
+                    | (ncz < 0) | (ncz >= sz)
+                )
+                region_change = ~inner & ~out_exit & (
+                    region_id(ncx, ncy, ncz) != dom
+                )
+                in_exit = inner & (
+                    (ncx < 0) | (ncx >= redge) | (ncy < 0) | (ncy >= redge)
+                    | (ncz < 0) | (ncz >= redge)
+                )
+
+                lx = jnp.clip(jnp.where(inner, ncx, ncx & 15), 0, 15)
+                ly = jnp.clip(jnp.where(inner, ncy, ncy & 15), 0, 15)
+                lz = jnp.clip(jnp.where(inner, ncz, ncz & 15), 0, 15)
+                edge_l2 = jnp.where(inner, resl, 4)
+                local = (((lx << edge_l2) + ly) << edge_l2) + lz
+                widx = jnp.clip(local >> 5, 0, 127)
+                word = jnp.take_along_axis(rows_loaded[0], widx, axis=-1)
+                for dk, rk in zip(dmins[1:], rows_loaded[1:]):
+                    word = jnp.where(
+                        dom == dk, jnp.take_along_axis(rk, widx, axis=-1), word
+                    )
+                bit = (word >> (local & 31).astype(jnp.uint32)) & jnp.uint32(1)
+                hit_now = (
+                    act & ~out_exit & ~in_exit & ~region_change & (bit == 1)
+                )
+
+                commit = act & ~region_change
+                dom = jnp.where(
+                    act & region_change, region_id(ncx, ncy, ncz), dom
+                )
+                s2 = dict(s)
+                s2["dom"] = dom
+                s2["cx"] = jnp.where(commit, ncx, cx)
+                s2["cy"] = jnp.where(commit, ncy, cy)
+                s2["cz"] = jnp.where(commit, ncz, cz)
+                s2["tmx"] = jnp.where(commit, utx, tmx)
+                s2["tmy"] = jnp.where(commit, uty, tmy)
+                s2["tmz"] = jnp.where(commit, utz, tmz)
+
+                nt = jnp.minimum(utx, jnp.minimum(uty, utz))
+                outer_hit = hit_now & ~inner
+                inner_hit = hit_now & inner
+                record = hit_now
+                s2["hit"] = jnp.where(inner_hit, HIT_INNER, s["hit"])
+                s2["face"] = jnp.where(record, f, s["face"])
+                s2["t"] = jnp.where(record, t_hit, s["t"])
+                s2["nt"] = jnp.where(record, nt, s["nt"])
+                s2["hx"] = jnp.where(record, ncx, s["hx"])
+                s2["hy"] = jnp.where(record, ncy, s["hy"])
+                s2["hz"] = jnp.where(record, ncz, s["hz"])
+                s2["mode"] = jnp.where(
+                    outer_hit,
+                    MODE_CLASSIFY,
+                    jnp.where(
+                        inner_hit | (act & out_exit),
+                        MODE_DONE,
+                        jnp.where(act & in_exit, MODE_RESTORE, mode),
+                    ),
+                )
+                return s2
+
+            for _ in range(substeps):
+                s = fine_step(s)
+
+            # ---- restore: pop the outer DDA registers ------------------
+            restoring = s["mode"] == MODE_RESTORE
+            s["dom"] = jnp.where(restoring, s["sdom"], s["dom"])
+            s["cx"] = jnp.where(restoring, s["scx"], s["cx"])
+            s["cy"] = jnp.where(restoring, s["scy"], s["cy"])
+            s["cz"] = jnp.where(restoring, s["scz"], s["cz"])
+            s["tmx"] = jnp.where(restoring, s["stmx"], s["tmx"])
+            s["tmy"] = jnp.where(restoring, s["stmy"], s["tmy"])
+            s["tmz"] = jnp.where(restoring, s["stmz"], s["tmz"])
+            s["tdx"] = jnp.where(restoring, jnp.abs(ivx), s["tdx"])
+            s["tdy"] = jnp.where(restoring, jnp.abs(ivy), s["tdy"])
+            s["tdz"] = jnp.where(restoring, jnp.abs(ivz), s["tdz"])
+            s["resl"] = jnp.where(restoring, 0, s["resl"])
+            s["mode"] = jnp.where(restoring, MODE_WALK, s["mode"])
+
+            # ---- classification: atom -> final, voxel block -> push ----
+            pending = s["mode"] == MODE_CLASSIFY
+            if not has_vox:
+                # No voxel blocks in the scene: every outer hit is final;
+                # palette ids resolve in XLA (one gather per phase).
+                s["hit"] = jnp.where(pending, HIT_OUTER, s["hit"])
+                s["mode"] = jnp.where(pending, MODE_DONE, s["mode"])
+            else:
+                def classify(s):
+                    pend = s["mode"] == MODE_CLASSIFY
+                    pdom = jnp.min(jnp.where(pend, s["dom"], _BIG))
+                    safe_p = jnp.maximum(jnp.minimum(pdom, n_regions - 1), 0)
+                    actp = pend & (s["dom"] == pdom)
+                    hxc, hyc, hzc = s["hx"] & 15, s["hy"] & 15, s["hz"] & 15
+                    local = (((hxc << 4) + hyc) << 4) + hzc
+                    page = pidx_ref[safe_p, 0]
+                    # Classify code: u16 pairs in 16 rows/page. Rays hit
+                    # only visible cubes, whose regions always own a page.
+                    prows = pages_ref[
+                        pl.dslice(jnp.maximum(page, 0) * 16, 16), :
+                    ]
+                    lane = jnp.clip((local >> 1) & 127, 0, 127)
+                    rsel = local >> 8
+                    val = jnp.zeros(GROUP, jnp.uint32)
+                    for krow in range(16):
+                        wk = jnp.take_along_axis(
+                            jnp.broadcast_to(prows[krow : krow + 1, :], GROUP),
+                            lane, axis=-1,
+                        )
+                        val = jnp.where(rsel == krow, wk, val)
+                    half = (local & 1).astype(jnp.uint32)
+                    u16v = (val >> (16 * half)) & jnp.uint32(0xFFFF)
+                    is_vox = actp & (u16v >= jnp.uint32(0x8000)) & (page >= 0)
+                    vent = (u16v & jnp.uint32(0xFFF)).astype(jnp.int32)
+                    rl = ((u16v >> 12) & jnp.uint32(7)).astype(jnp.int32)
+                    atom = actp & ~is_vox
+                    s["hit"] = jnp.where(atom, HIT_OUTER, s["hit"])
+                    s["pidx"] = jnp.where(
+                        atom, (u16v & jnp.uint32(0x7FFF)).astype(jnp.int32),
+                        s["pidx"],
+                    )
+                    s["mode"] = jnp.where(atom, MODE_DONE, s["mode"])
+
+                    # push: save outer registers, enter the voxel grid one
+                    # virtual voxel early along the entry face axis
+                    # (round_body / recursive_raycast parity).
+                    s["sdom"] = jnp.where(is_vox, s["dom"], s["sdom"])
+                    s["scx"] = jnp.where(is_vox, s["cx"], s["scx"])
+                    s["scy"] = jnp.where(is_vox, s["cy"], s["scy"])
+                    s["scz"] = jnp.where(is_vox, s["cz"], s["scz"])
+                    s["stmx"] = jnp.where(is_vox, s["tmx"], s["stmx"])
+                    s["stmy"] = jnp.where(is_vox, s["tmy"], s["stmy"])
+                    s["stmz"] = jnp.where(is_vox, s["tmz"], s["stmz"])
+
+                    t = s["t"]
+                    axis = s["face"] % 3
+                    ohx = (axis == 0).astype(jnp.int32)
+                    ohy = (axis == 1).astype(jnp.int32)
+                    ohz = (axis == 2).astype(jnp.int32)
+                    blk_res = jnp.int32(1) << rl
+                    rf = blk_res.astype(jnp.float32)
+                    iox = (ox - s["hx"].astype(jnp.float32)) * rf
+                    ioy = (oy - s["hy"].astype(jnp.float32)) * rf
+                    ioz = (oz - s["hz"].astype(jnp.float32)) * rf
+                    epx = iox + dx * rf * t + dx * nud
+                    epy = ioy + dy * rf * t + dy * nud
+                    epz = ioz + dz * rf * t + dz * nud
+                    icx = jnp.clip(jnp.floor(epx).astype(jnp.int32), 0, blk_res - 1)
+                    icy = jnp.clip(jnp.floor(epy).astype(jnp.int32), 0, blk_res - 1)
+                    icz = jnp.clip(jnp.floor(epz).astype(jnp.int32), 0, blk_res - 1)
+                    itmx = ((icx + spx).astype(jnp.float32) - iox) * ivx / rf
+                    itmy = ((icy + spy).astype(jnp.float32) - ioy) * ivy / rf
+                    itmz = ((icz + spz).astype(jnp.float32) - ioz) * ivz / rf
+                    itmx = jnp.where(stx == 0, _INF, itmx)
+                    itmy = jnp.where(sty == 0, _INF, itmy)
+                    itmz = jnp.where(stz == 0, _INF, itmz)
+                    s["cx"] = jnp.where(is_vox, icx - ohx * stx, s["cx"])
+                    s["cy"] = jnp.where(is_vox, icy - ohy * sty, s["cy"])
+                    s["cz"] = jnp.where(is_vox, icz - ohz * stz, s["cz"])
+                    s["tmx"] = jnp.where(
+                        is_vox, jnp.where(ohx == 1, t, itmx), s["tmx"]
+                    )
+                    s["tmy"] = jnp.where(
+                        is_vox, jnp.where(ohy == 1, t, itmy), s["tmy"]
+                    )
+                    s["tmz"] = jnp.where(
+                        is_vox, jnp.where(ohz == 1, t, itmz), s["tmz"]
+                    )
+                    s["tdx"] = jnp.where(is_vox, jnp.abs(ivx) / rf, s["tdx"])
+                    s["tdy"] = jnp.where(is_vox, jnp.abs(ivy) / rf, s["tdy"])
+                    s["tdz"] = jnp.where(is_vox, jnp.abs(ivz) / rf, s["tdz"])
+                    s["dom"] = jnp.where(is_vox, n_regions + vent, s["dom"])
+                    s["resl"] = jnp.where(is_vox, rl, s["resl"])
+                    s["mode"] = jnp.where(is_vox, MODE_WALK, s["mode"])
+                    return s
+
+                # Surface events are rare relative to steps: skip the
+                # page machinery entirely on iterations with no pending
+                # classification.
+                s = jax.lax.cond(pending.any(), classify, lambda s: s, s)
+
+            return (it + 1,) + tuple(s[k] for k in _STATE2_FIELDS)
+
+        def cond(carry):
+            it = carry[0]
+            mode = carry[1 + _STATE2_FIELDS.index("mode")]
+            return (it < max_iters) & (mode != MODE_DONE).any()
+
+        init = (jnp.int32(0),) + tuple(r[:] for r in st_refs)
+        final = jax.lax.while_loop(cond, body, init)
+        for o_ref, v in zip(out_refs, final[1:]):
+            o_ref[:] = v
+
+    return kernel
+
+
+def _run_kernel2(
+    rays, state_in, ctx2, max_iters, substeps, interpret, macro=1, domains=1
+):
+    """rays: dict of 12 flat [m] ray constants; state_in: dict of
+    _STATE2_FIELDS flat [m]. Returns dict of _STATE2_FIELDS."""
+    from jax.experimental import pallas as pl
+
+    m = rays["ox"].shape[0]
+    g = m // N_GROUP
+    has_vox = ctx2.pages is not None
+    n_domains = ctx2.rows.shape[0]
+    kern = _make_kernel2(
+        ctx2.rdims, ctx2.size, ctx2.n_regions, n_domains, max_iters,
+        substeps, has_vox, macro_steps=macro, domains_per_iter=domains,
+    )
+
+    def shape2(a):
+        return a.reshape(g * GROUP[0], GROUP[1])
+
+    in_arrays = [shape2(rays[k]) for k in _RAY_FIELDS]
+    in_arrays += [shape2(state_in[k]) for k in _STATE2_FIELDS]
+    in_arrays += [ctx2.l1, ctx2.rows]
+    blk = pl.BlockSpec(GROUP, lambda i: (i, 0))
+    in_specs = [blk] * (len(_RAY_FIELDS) + len(_STATE2_FIELDS)) + [
+        pl.BlockSpec(ctx2.l1.shape, lambda i: (0, 0)),
+        pl.BlockSpec(ctx2.rows.shape, lambda i: (0, 0)),
+    ]
+    if has_vox:
+        in_arrays += [ctx2.page_idx, ctx2.pages]
+        in_specs += [
+            pl.BlockSpec(ctx2.page_idx.shape, lambda i: (0, 0)),
+            pl.BlockSpec(ctx2.pages.shape, lambda i: (0, 0)),
+        ]
+
+    def sds(dt):
+        return jax.ShapeDtypeStruct((g * GROUP[0], GROUP[1]), dt)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=[blk] * len(_STATE2_FIELDS),
+        out_shape=[sds(_STATE2_DTYPES[k]) for k in _STATE2_FIELDS],
+        interpret=interpret,
+    )(*in_arrays)
+    return {k: v.reshape(m) for k, v in zip(_STATE2_FIELDS, outs)}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rdims", "n_regions", "options", "include_sky", "phases",
+        "kernel_iters", "substeps", "max_rounds", "interpret", "macro",
+        "domains", "has_vox",
+    ),
+)
+def _trace_pallas_impl2(
+    state: SpaceState, o, d, l1, rows, page_idx, pages, *, rdims,
+    n_regions, options, include_sky, phases, kernel_iters, substeps,
+    max_rounds, interpret, macro=1, domains=1, has_vox=True,
+):
+    size = state.contents.shape
+    size_i = jnp.asarray(size, jnp.int32)
+    size_f = jnp.asarray(size, jnp.float32)
+    m = o.shape[0]
+    tables = state.tables
+    max_r = tables.padded_voxel_resolution
+    vox_r3 = max_r * max_r * max_r
+    rdy, rdz = rdims[1], rdims[2]
+    sbd = brick_dims(size)
+    iota64 = jnp.arange(BRICK**3, dtype=jnp.int32)
+    ctx2 = BitmaskCtx2(
+        rows=rows, l1=l1, page_idx=page_idx, pages=pages,
+        rdims=rdims, size=size, n_regions=n_regions,
+        n_ventries=0,
+    )
+
+    entry = ray_entry_setup(o, d, size_i, size_f)
+    d_len = entry["d_len"]
+    inv_d, step = entry["inv_d"], entry["step"]
+    t_to_view = (d_len / jnp.float32(options.view_distance)).astype(jnp.float32)
+    sky_rgb = _sky_sample(state, d)
+    shade_fn = make_phase_shader(state, options, o, d, d_len, t_to_view, sky_rgb)
+
+    cube0 = entry["cube0"]
+    cc = jnp.clip(cube0, 0, size_i - 1)
+    dom0 = ((cc[:, 0] >> 4) * rdy + (cc[:, 1] >> 4)) * rdz + (cc[:, 2] >> 4)
+
+    rays = dict(
+        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        ivx=inv_d[:, 0], ivy=inv_d[:, 1], ivz=inv_d[:, 2],
+        stx=step[:, 0], sty=step[:, 1], stz=step[:, 2],
+    )
+    tmax0 = entry["tmax0"]
+    zi = jnp.zeros(m, jnp.int32)
+    zf = jnp.zeros(m, jnp.float32)
+    st = dict(
+        dom=dom0,
+        cx=cube0[:, 0], cy=cube0[:, 1], cz=cube0[:, 2],
+        tmx=tmax0[:, 0], tmy=tmax0[:, 1], tmz=tmax0[:, 2],
+        tdx=jnp.abs(inv_d[:, 0]), tdy=jnp.abs(inv_d[:, 1]),
+        tdz=jnp.abs(inv_d[:, 2]),
+        resl=zi, mode=entry["hits_box"].astype(jnp.int32),
+        hit=zi, pidx=zi, face=zi, t=zf, nt=zf, hx=zi, hy=zi, hz=zi,
+        sdom=zi, scx=zi, scy=zi, scz=zi, stmx=zf, stmy=zf, stmz=zf,
+    )
+
+    def fetch_cell(x, y, z):
+        xc = jnp.clip(x, 0, size[0] - 1)
+        yc = jnp.clip(y, 0, size[1] - 1)
+        zc = jnp.clip(z, 0, size[2] - 1)
+        key = ((xc >> 2) * sbd[1] + (yc >> 2)) * sbd[2] + (zc >> 2)
+        row = jnp.take(state.cells, key, axis=0)
+        local = ((xc & 3) << 4) | ((yc & 3) << 2) | (zc & 3)
+        return (row * (iota64 == local[:, None])).sum(-1)
+
+    def round_body(carry):
+        st, fuel = carry
+        out = _run_kernel2(
+            rays, st, ctx2, kernel_iters, substeps, interpret, macro, domains
+        )
+        return out, fuel - 1
+
+    def round_cond(carry):
+        st, fuel = carry
+        return (fuel > 0) & (st["mode"] != MODE_DONE).any()
+
+    light_acc = jnp.zeros((m, 3), jnp.float32)
+    trans_acc = jnp.ones(m, jnp.float32)
+    unfinished = jnp.asarray(False)
+
+    for _phase in range(phases):
+        st, _fuel = jax.lax.while_loop(
+            round_cond, round_body, (st, jnp.int32(max_rounds))
+        )
+        unfinished = unfinished | (st["mode"] != MODE_DONE).any()
+        has_hit = st["hit"] != 0
+
+        def shade_phase(st, la, ta):
+            # Resolve final hits into the shader's hit-buffer contract.
+            # Atom palette ids come straight from the kernel (classify
+            # pages) except in page-less scenes, where one gather per
+            # phase resolves them.
+            atomh = st["hit"] == HIT_OUTER
+            innerh = st["hit"] == HIT_INNER
+            if has_vox:
+                payload = st["pidx"]
+            else:
+                payload = fetch_cell(st["hx"], st["hy"], st["hz"]) & 0xFFFF
+            ventry = st["dom"] - n_regions
+            vflat = (
+                ventry * vox_r3
+                + (st["hx"] * max_r + st["hy"]) * max_r + st["hz"]
+            )
+            block_cube = jnp.stack([st["scx"], st["scy"], st["scz"]], -1)
+            hit_cube = jnp.stack([st["hx"], st["hy"], st["hz"]], -1)
+            hb = dict(
+                hit_kind=jnp.where(
+                    atomh, HIT_ATOM, jnp.where(innerh, HIT_VOXEL, TR_HIT_NONE)
+                ),
+                hit_idx=jnp.where(atomh, payload, 0),
+                hit_vflat=jnp.where(innerh, vflat, 0),
+                hit_face=st["face"],
+                hit_t=st["t"],
+                hit_next_t=st["nt"],
+                hit_cube=jnp.where(innerh[:, None], block_cube, hit_cube),
+            )
+            return shade_fn(hb, la, ta)
+
+        light_acc, trans_acc = jax.lax.cond(
+            has_hit.any(),
+            lambda la, ta: shade_phase(st, la, ta),
+            lambda la, ta: (la, ta),
+            light_acc, trans_acc,
+        )
+        resume = has_hit & (trans_acc >= 1.0 / 256.0)
+        st = dict(st, mode=resume.astype(jnp.int32), hit=jnp.zeros(m, jnp.int32))
+
+    if include_sky:
+        light_acc = light_acc + sky_rgb * trans_acc[..., None]
+        trans_acc = jnp.zeros_like(trans_acc)
+    return light_acc, trans_acc, unfinished
