@@ -594,7 +594,10 @@ def _converge_xla(
 
 
 def evaluate_light_dense(
-    state: SpaceState, max_passes: int = 32, ctx: RelightCtx | None = None
+    state: SpaceState,
+    max_passes: int = 32,
+    ctx: RelightCtx | None = None,
+    seed: bool = True,
 ):
     """Full-volume relight to convergence via Jacobi passes.
 
@@ -603,7 +606,18 @@ def evaluate_light_dense(
     the end. Converged when no cube moves by more than 1 packed step (the
     reference's re-enqueue threshold, updater.rs:340). Returns
     (state, passes_run).
+
+    `seed` runs the ``fast_evaluate_light`` column scan first
+    (updater.rs:531-576 — the reference's own initialization before
+    ``evaluate_light``): sky-lit columns start at their fixpoint value,
+    which cuts the Jacobi pass count roughly in half on open scenes.
+    The fixpoint itself is seed-independent (each pass recomputes every
+    cube purely from contents + neighbor light).
     """
+    if seed:
+        from .refproc import fast_evaluate_seed
+
+        state, _prio = fast_evaluate_seed(state)
     if ctx is None:
         ctx = build_relight_ctx(state)
     split = _pallas_split(state, ctx)

@@ -420,7 +420,22 @@ def _kernel_factory(
                 v = jnp.where((dxr & 1) != 0, v[1 : nrows + 2, :], v[0 : nrows + 1, :])
                 return v[0:nrows, :]
 
-            for j, m in enumerate(mirrors):
+            # Dead-ray gate: alpha is monotone non-increasing along a
+            # ray and every contribution is scaled by alpha*rw, so once
+            # every mirror's alpha is zero EVERYWHERE the remaining
+            # steps of this ray are pure no-ops (the next ray_new
+            # reseeds alpha). On surface-rich scenes most rays terminate
+            # in a fraction of their chart length, so the cheap
+            # whole-scratch reduction buys skipping the fetch+shade body
+            # for the majority of pairs.
+            if "nogate" in ablate:
+                alive = p >= 0
+            else:
+                alive = jnp.max(alpha[:]) > 0.0
+
+            @pl.when(alive)
+            def _shade():
+              for j, m in enumerate(mirrors):
                 sx = 1 - 2 * (m & 1)
                 sy = 1 - 2 * ((m >> 1) & 1)
                 sz = 1 - 2 * ((m >> 2) & 1)
