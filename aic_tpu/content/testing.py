@@ -5,9 +5,11 @@ grid of randomized 6³ "sections" (solid buildings / hollow shells / random
 noise, occasionally semi-transparent), under an octant sky, sized 54×16×54
 by the light benchmark (all-is-cubes/benches/light.rs).
 
-RNG streams differ from the reference (we use numpy PCG64 per section
-instead of Xoshiro256Plus) but the structural recipe — section layout,
-shape choice weights, color/alpha distribution — matches.
+RNG streams REPLICATE the reference bit-exactly (`RefRng` below:
+Xoshiro256Plus seeded per section via SplitMix64, with rand-0.9 sampling
+semantics), so section colors/shapes match the reference's — verified
+pixel-level against the `template-light-bench` renderer golden
+(tests/test_reference_goldens.py).
 """
 
 from __future__ import annotations
@@ -19,11 +21,65 @@ from ..math.color import np_srgb8_to_linear
 from ..math.grid import GridAab
 from ..space import Sky, Space, SpacePhysics
 
+_U64 = (1 << 64) - 1
+
+
+class RefRng:
+    """Xoshiro256Plus + the rand-crate sampling used by the reference
+    (rand_xoshiro 0.8 / rand 0.9): seed_from_u64's SplitMix64 expansion,
+    next_u32 = high word, Standard f32 = 24 mantissa bits, inclusive
+    float ranges via the (high-low)/max_rand scale, Bernoulli via a
+    2^64-scaled integer threshold, and Lemire widening-multiply integer
+    ranges (the ~2^-32 rejection/correction branches are unreachable for
+    the tiny ranges used here and are omitted)."""
+
+    def __init__(self, seed_u64: int):
+        x = seed_u64 & _U64
+        s = []
+        for _ in range(4):
+            x = (x + 0x9E3779B97F4A7C15) & _U64
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+            s.append(z ^ (z >> 31))
+        self.s = s
+
+    def next_u64(self) -> int:
+        s = self.s
+        result = (s[0] + s[3]) & _U64
+        t = (s[1] << 17) & _U64
+        s[2] ^= s[0]
+        s[3] ^= s[1]
+        s[1] ^= s[2]
+        s[0] ^= s[3]
+        s[2] ^= t
+        s[3] = ((s[3] << 45) | (s[3] >> 19)) & _U64
+        return result
+
+    def next_u32(self) -> int:
+        return self.next_u64() >> 32
+
+    def random_f32_01_inclusive(self) -> float:
+        # random_range(0.0..=1.0): value0_1 * scale with value0_1 =
+        # (u32 >> 8) * 2^-24 and scale = 1 / ((2^24 - 1) * 2^-24).
+        u = self.next_u32() >> 8
+        value0_1 = np.float32(u) * np.float32(2.0**-24)
+        scale = np.float32(1.0) / (
+            np.float32(2**24 - 1) * np.float32(2.0**-24)
+        )
+        return float(value0_1 * scale)
+
+    def random_bool(self, p: float) -> bool:
+        return self.next_u64() < int(p * 2.0**64)
+
+    def random_range_u32(self, n: int) -> int:
+        return (self.next_u32() * n) >> 32
+
 SECTION_WIDTH = 6
 MARGIN = 4
 SECTION_SPACING = SECTION_WIDTH + MARGIN
 
-ALMOST_BLACK = np_srgb8_to_linear(np.array([10, 10, 10]))
+ALMOST_BLACK = np_srgb8_to_linear(np.array([0x3D, 0x3D, 0x3D]))  # palette.rs:82
 DAY_SKY = np_srgb8_to_linear(np.array([243, 243, 255]))
 
 
@@ -63,38 +119,49 @@ def light_bench_space(requested_size=(54, 16, 54)) -> Space:
 
     for sx in range(nx):
         for sz in range(nz):
-            rng = np.random.default_rng(sx + sz * nx)
+            # testing.rs:67 — per-section Xoshiro256Plus, seed sx+sz*nx;
+            # draw order: r, g, b, alpha-bool, shape.
+            rng = RefRng(sx + sz * nx)
             section = GridAab.from_lower_size(
                 (MARGIN + sx * SECTION_SPACING, -ydown + 1, MARGIN + sz * SECTION_SPACING),
                 (SECTION_WIDTH, section_height, SECTION_WIDTH),
             )
             color = from_color(
                 (
-                    float(rng.uniform(0, 1)),
-                    float(rng.uniform(0, 1)),
-                    float(rng.uniform(0, 1)),
-                    0.5 if rng.random() < 0.125 else 1.0,
+                    rng.random_f32_01_inclusive(),
+                    rng.random_f32_01_inclusive(),
+                    rng.random_f32_01_inclusive(),
+                    0.5 if rng.random_bool(0.125) else 1.0,
                 ),
                 f"section{sx},{sz}",
             )
-            shape = int(rng.integers(0, 3))
+            shape = rng.random_range_u32(3)
             if shape == 0:
                 space.fill(section, color)
             elif shape == 1:
-                # Hollow shell: solid box, then air interior (walls only in
-                # x/z — testing.rs:89 shrinks nx/nz/px/pz by 1).
-                space.fill(section, color)
+                # Underground hollow room: solid fill stops `yup` below
+                # the section top (testing.rs:83 shrink(PY, yup)), then
+                # the full-height interior (x/z shrunk by 1) is carved
+                # to air — carving through the ground slab too.
+                solid = GridAab.from_lower_upper(
+                    section.lower,
+                    (section.upper[0], section.upper[1] - yup, section.upper[2]),
+                )
+                space.fill(solid, color)
                 interior = GridAab.from_lower_upper(
                     (section.lower[0] + 1, section.lower[1], section.lower[2] + 1),
                     (section.upper[0] - 1, section.upper[1], section.upper[2] - 1),
                 )
                 space.fill(interior, AIR)
             else:
-                noise = rng.random(section.size) < 0.25
-                lx, ly, lz = section.lower
+                # Noise: EVERY cube of the section is written (air
+                # overwrites ground below grade — testing.rs:105 fill
+                # returns Some(&AIR) for the misses), one Bernoulli draw
+                # per cube in interior-iteration (x, y, z) order.
                 for (x, y, z) in section.interior_iter():
-                    if noise[x - lx, y - ly, z - lz]:
-                        space.set((x, y, z), color)
+                    space.set(
+                        (x, y, z), color if rng.random_bool(0.25) else AIR
+                    )
 
     space.fast_evaluate_light()
     return space

@@ -498,6 +498,31 @@ class TestEmission:
         compare(f"emission_semi-{variant}", r, [(2, 1000), (5, 200), (15, 80)])
 
 
+def test_template_light_bench():
+    """template.rs LightBench golden (cases lib.rs:1054 template case,
+    seed 0, default 54×16×54): camera = the template's spawn —
+    Spawn::looking_at_space(bounds, [0, 0.5, 1]) (testing.rs:36), i.e.
+    eye = center + normalize(dir) * max_size (camera.rs:619
+    eye_for_look_at), looking along -dir. Passing requires bit-exact
+    replication of the reference's per-section Xoshiro256Plus streams
+    (content/testing.py RefRng)."""
+    from aic_tpu.content.testing import light_bench_space
+
+    sp = light_bench_space()
+    lo = np.asarray(sp.bounds.lower, np.float64)
+    hi = np.asarray(sp.bounds.upper, np.float64)
+    center = (lo + hi) / 2
+    radius = float(np.max(hi - lo))
+    d = np.asarray([0.0, 0.5, 1.0])
+    d = d / np.linalg.norm(d)
+    r = render_case(sp, center + d * radius, -d, unaltered())
+    compare(
+        "template-light-bench",
+        r,
+        [(254, 20), (30, 50), (1, VIEWPORT.width * VIEWPORT.height)],
+    )
+
+
 def test_template_cornell_box():
     """template.rs cornell-box rendered with UNALTERED_COLORS (the
     reference's template render test, seed 0, default size)."""
