@@ -124,6 +124,17 @@ class TestConvergeLoop:
         )
         assert d.max() == 0
 
-        lit, p2 = evaluate_light_dense(st, ctx=ctx)
+        lit, p2 = evaluate_light_dense(st, ctx=ctx, seed=False)
         assert p2 == host_passes
         assert not bool(np.asarray(lit.light_dirty > 0).any())
+
+        # The fast-light seed must not change the fixpoint (Jacobi is a
+        # contraction; each pass recomputes every cube from scratch) —
+        # only the path to it, in no more passes than unseeded.
+        lit_s, p_seed = evaluate_light_dense(st, ctx=ctx, seed=True)
+        assert p_seed <= host_passes
+        ds = np.abs(
+            np.asarray(lit.light[..., :3], np.int32)
+            - np.asarray(lit_s.light[..., :3], np.int32)
+        )
+        assert ds.max() <= 1
