@@ -649,6 +649,25 @@ class Session:
         if self.pages is not None:
             self.pages.open("message", message=message)
 
+    def document_name(self) -> str | None:
+        """The universe's document identity for window titles
+        (desktop session.rs:204 reads `info.whence.document_name()`)."""
+        return self.universe.whence.document_name()
+
+    def save_universe(self) -> str | None:
+        """Save back to the universe's origin (whence.rs save flow).
+        Returns the document name on success; raises ValueError when the
+        universe has no saveable origin (NoWhence)."""
+        self.universe.whence.save(self.universe)
+        return self.document_name()
+
+    def open_universe_file(self, path: str) -> None:
+        """Load a universe file and make it the live universe (the
+        desktop's drag-drop open, winit.rs:506 DroppedFile)."""
+        from ..io.whence import load_universe_file
+
+        self.universe = load_universe_file(path)
+
     def apply_settings(self):
         """Propagate the settings store into the live graphics options +
         camera (Session::settings mutation propagation)."""

@@ -55,9 +55,18 @@ class WindowMain:
         pg.display.init()
         vp = self.session.camera.viewport
         self.screen = pg.display.set_mode((vp.width, vp.height))
-        pg.display.set_caption(self.title)
+        self._set_title()
         pg.key.set_repeat()  # key state, not repeats (input.rs held keys)
         return self
+
+    def _set_title(self):
+        """Window title from the universe's document name (desktop
+        session.rs:204: '<document> — <app>' when the universe has an
+        identity, the fixed title otherwise)."""
+        doc = self.session.document_name()
+        self.pg.display.set_caption(
+            f"{doc} — {self.title}" if doc else self.title
+        )
 
     def __exit__(self, *exc):
         self._set_capture(False)
@@ -112,6 +121,14 @@ class WindowMain:
                     self._toggle_fly()
                 elif k == "q":
                     s.quit_requested = True
+                elif k == "s" and (event.mod & pg.KMOD_CTRL):
+                    # Save back to the universe's origin (whence.rs save;
+                    # desktop Ctrl-S flow). No origin -> notify, no crash.
+                    try:
+                        name = s.save_universe()
+                        s.show_notification(f"Saved {name}")
+                    except ValueError as e:
+                        s.show_notification(str(e))
                 elif k and s.input.command(k) and s.input.command(k)[0] == "slot":
                     s.select_slot(s.input.command(k)[1])
                 elif k:
@@ -120,6 +137,16 @@ class WindowMain:
                 k = self._key_name(event)
                 if k:
                     s.input.key_up(k)
+            elif event.type == pg.DROPFILE:
+                # Drag-dropped universe file (winit.rs:506 DroppedFile):
+                # load it and make it the live universe; the window title
+                # picks up the new document name.
+                try:
+                    s.open_universe_file(event.file)
+                    self._set_title()
+                    s.show_notification(f"Opened {s.document_name()}")
+                except Exception as e:  # noqa: BLE001 - surfaced to user
+                    s.show_notification(f"Failed to open: {e}")
             elif event.type == pg.WINDOWFOCUSLOST:
                 # input.rs:165 key_focus(false): never leave keys stuck.
                 s.input.key_focus(False)
@@ -203,24 +230,31 @@ class WindowMain:
                 time.sleep(leftover)
 
 
-def run_window_session(space, state, width=640, height=360, options=None):
-    """Build a Session around `space` and run the window loop
+def run_window_session(
+    space, state, width=640, height=360, options=None, universe=None
+):
+    """Build a Session around `space` (or a pre-loaded `universe`, which
+    keeps its whence/save-back origin) and run the window loop
     (winit.rs:176 create_window + main loop)."""
     from ..raytrace import Viewport
     from ..universe import Universe
     from .session import Session
 
-    u = Universe()
-    u.insert_space("world", space)
-    u.states["world"] = state
-    spawn = (
-        tuple(float(x) for x in space.spawn_position)
-        if space.spawn_position is not None
-        else tuple(
-            lo + sz / 2.0 for lo, sz in zip(space.bounds.lower, space.bounds.size)
+    if universe is not None:
+        u = universe
+    else:
+        u = Universe()
+        u.insert_space("world", space)
+        u.states["world"] = state
+        spawn = (
+            tuple(float(x) for x in space.spawn_position)
+            if space.spawn_position is not None
+            else tuple(
+                lo + sz / 2.0
+                for lo, sz in zip(space.bounds.lower, space.bounds.size)
+            )
         )
-    )
-    u.insert_character("player", "world", spawn)
+        u.insert_character("player", "world", spawn)
     session = Session(u, viewport=Viewport(width, height), options=options)
     session.enable_ui()
     with WindowMain(session) as wm:

@@ -33,6 +33,23 @@ def build_template(name: str, seed: int = 0, size: int | None = None):
         )
 
 
+def _ensure_player(u):
+    """Guarantee a 'player' character for session modes on a loaded
+    universe document (the desktop's get-or-create character on open)."""
+    if "player" in u.characters:
+        return
+    sname = next(iter(u.spaces))
+    sp = u.spaces[sname]
+    spawn = (
+        tuple(float(x) for x in sp.spawn_position)
+        if sp.spawn_position is not None
+        else tuple(
+            lo + sz / 2.0 for lo, sz in zip(sp.bounds.lower, sp.bounds.size)
+        )
+    )
+    u.insert_character("player", sname, spawn)
+
+
 def default_camera(space, width, height, options):
     from .raytrace import Camera, Viewport
 
@@ -68,6 +85,15 @@ def ansi_image(data: np.ndarray) -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="aic-tpu")
+    p.add_argument(
+        "input",
+        nargs="?",
+        default=None,
+        metavar="UNIVERSE_FILE",
+        help="universe file to open (.json native, .alliscubesjson, "
+        ".vox); the session saves back to it (whence.rs provenance). "
+        "When omitted, --template builds a fresh universe.",
+    )
     p.add_argument("--template", default="cornell-box")
     p.add_argument(
         "--graphics",
@@ -109,7 +135,23 @@ def main(argv=None):
     log = aic_logging.get_logger("aic_tpu.main")
     telemetry = aic_logging.Telemetry(args.telemetry) if args.telemetry else None
 
-    space = build_template(args.template, args.seed, args.size)
+    loaded_universe = None
+    if args.input:
+        # Open a universe document; `whence` points back at it so the
+        # session's save writes to the origin (save/whence.rs:20).
+        from .io.whence import load_universe_file
+
+        loaded_universe = load_universe_file(args.input)
+        wname = (
+            "world"
+            if "world" in loaded_universe.spaces
+            else next(iter(loaded_universe.spaces))
+        )
+        space = loaded_universe.spaces[wname]
+        log_src = loaded_universe.whence.document_name()
+        print(f"[open] {log_src}", file=sys.stderr)
+    else:
+        space = build_template(args.template, args.seed, args.size)
     state = space.snapshot()
     if not args.no_relight and state.light_enabled:
         t0 = time.time()
@@ -121,9 +163,12 @@ def main(argv=None):
     if args.graphics == "headless":
         from .universe import Universe
 
-        u = Universe()
-        u.insert_space("world", space)
-        u.states["world"] = state
+        if loaded_universe is not None:
+            u = loaded_universe
+        else:
+            u = Universe()
+            u.insert_space("world", space)
+            u.states["world"] = state
         if telemetry is not None:
             telemetry.attach_to_universe(u)
         n_ticks = int(args.duration * 60)
@@ -231,15 +276,19 @@ def main(argv=None):
         from .raytrace import Viewport
         from .universe import Universe
 
-        u = Universe()
-        u.insert_space("world", space)
-        u.states["world"] = state
-        spawn = (
-            tuple(float(x) for x in space.spawn_position)
-            if space.spawn_position is not None
-            else tuple(l + s_ / 2.0 for l, s_ in zip(space.bounds.lower, space.bounds.size))
-        )
-        u.insert_character("player", "world", spawn)
+        if loaded_universe is not None:
+            u = loaded_universe
+            _ensure_player(u)
+        else:
+            u = Universe()
+            u.insert_space("world", space)
+            u.states["world"] = state
+            spawn = (
+                tuple(float(x) for x in space.spawn_position)
+                if space.spawn_position is not None
+                else tuple(l + s_ / 2.0 for l, s_ in zip(space.bounds.lower, space.bounds.size))
+            )
+            u.insert_character("player", "world", spawn)
         session = Session(u, viewport=Viewport(args.width, args.height), options=options)
         session.enable_ui()
         srv = SessionServer(session, port=args.port)
@@ -248,8 +297,15 @@ def main(argv=None):
     elif args.graphics == "window":
         from .apps.window import run_window_session
 
+        if loaded_universe is not None:
+            _ensure_player(loaded_universe)
         run_window_session(
-            space, state, width=args.width, height=args.height, options=options
+            space,
+            state,
+            width=args.width,
+            height=args.height,
+            options=options,
+            universe=loaded_universe,
         )
     elif args.graphics == "terminal":
         if not sys.stdin.isatty():

@@ -176,6 +176,13 @@ class UniverseStepInfo:
 
 class Universe:
     def __init__(self):
+        #: Storage provenance (save/whence.rs:20 `Universe::whence`):
+        #: where this universe came from and how to save it back.
+        #: Fresh/procedural universes carry NoWhence; io.whence.
+        #: load_universe_file sets a FileWhence.
+        from ..io.whence import NoWhence
+
+        self.whence = NoWhence()
         self.spaces: dict[str, Space] = {}
         self.states: dict[str, object] = {}  # name -> SpaceState (device)
         self.block_defs: dict[str, object] = {}
