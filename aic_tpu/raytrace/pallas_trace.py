@@ -47,6 +47,7 @@ Validated in interpret mode against the XLA tracer
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -72,7 +73,12 @@ MAX_REGIONS = 4096  # L1 capacity: one 128-word row of region bits
 _INF = np.float32(np.inf)
 _BIG = np.int32(2**30)
 
-GROUP = (8, 128)  # rays per kernel program
+# Rays per kernel program. Grid programs run serially on the core, so
+# per-frame cost ~= programs x iterations x per-iteration floor; larger
+# groups amortize the floor over more rays (vector ops stay VREG-tiled)
+# at the price of more domain divergence per group. (8,128) is one
+# native VREG tile; AIC_TRACE_GROUP_ROWS overrides for probing.
+GROUP = (int(os.environ.get("AIC_TRACE_GROUP_ROWS", "8")), 128)
 N_GROUP = GROUP[0] * GROUP[1]
 
 HIT_NONE = 0
@@ -728,6 +734,7 @@ def trace_rays_pallas(
     domains: int = 1,
     macro: int = 1,
     megakernel: bool | None = None,
+    group_rows: int | None = None,
 ):
     """trace_rays via the Pallas region-synchronous kernel. Same contract
     as tracer.trace_rays: (light f32[...,3] premultiplied HDR,
@@ -737,6 +744,12 @@ def trace_rays_pallas(
     `megakernel` selects the v2 kernel (in-kernel voxel-block
     classification + entry; one launch per phase). None = auto: v2
     whenever its tables fit.
+
+    `group_rows` sets the v2 kernel's rays-per-program tile height (x128
+    lanes). None = auto: 32 rows (64x64-pixel tiles) at >=1M rays —
+    grid programs run serially, so fewer/larger groups amortize the
+    per-iteration loop floor (measured 105 -> 81 ms on atrium 1080p) —
+    and 8 rows below that, where padding waste would dominate.
 
     Raises ValueError for states the kernel can't hold (> 4096 regions or
     voxel resolution > 16) — callers fall back to the XLA tracer.
@@ -748,6 +761,10 @@ def trace_rays_pallas(
     else:
         ctx = get_bitmask_ctx(state)
     batch_shape = origins.shape[:-1]
+    if megakernel and group_rows is None:
+        n_req = int(np.prod(batch_shape)) if batch_shape else 1
+        group_rows = 32 if n_req >= 1 << 20 else GROUP[0]
+    n_group = (group_rows * 128) if megakernel else N_GROUP
     o = origins.reshape(-1, 3).astype(jnp.float32) - jnp.asarray(
         state.lower, jnp.float32
     )
@@ -759,9 +776,10 @@ def trace_rays_pallas(
     # rearrange so each GROUP is one tile (pure reshape/transpose; the
     # inverse is applied to the outputs below).
     tiled_hw = None
-    T = int(np.sqrt(N_GROUP))
-    assert T * T == N_GROUP, "GROUP must give a square pixel tile"
-    if len(batch_shape) == 2 and batch_shape[0] * batch_shape[1] >= N_GROUP:
+    T = int(np.sqrt(n_group))
+    if T * T != n_group:
+        T = 0  # non-square group (probe override): raster-order strips
+    if T and len(batch_shape) == 2 and batch_shape[0] * batch_shape[1] >= n_group:
         H, W = batch_shape
         Hp, Wp = -(-H // T) * T, -(-W // T) * T
         # Thin 2D batches (e.g. 2×512) would pad per-dimension and trace
@@ -778,7 +796,7 @@ def trace_rays_pallas(
 
             o, d = to_tiles(o), to_tiles(d)
     n = o.shape[0]
-    m = -(-n // N_GROUP) * N_GROUP
+    m = -(-n // n_group) * n_group
     if m != n:
         # Pad with rays that miss the volume (o on -X side, moving -X).
         o_pad = jnp.full((m - n, 3), -10.0, jnp.float32)
@@ -787,15 +805,18 @@ def trace_rays_pallas(
         d = jnp.concatenate([d, d_pad], axis=0)
 
     if megakernel:
-        # v2 defaults: one long launch per phase; small relaunch fuel.
+        # v2 defaults: one long launch per phase; small relaunch fuel;
+        # 8 fine steps per iteration (measured best on atrium 1080p).
         kit = 256 if kernel_iters == 48 else kernel_iters
         mr = 8 if max_rounds == 48 else max_rounds
+        sub = 8 if substeps == 4 else substeps
         light, trans, unfinished = _trace_pallas_impl2(
             state, o, d, ctx.l1, ctx.rows, ctx.page_idx, ctx.pages,
             rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
             include_sky=include_sky, phases=phases, kernel_iters=kit,
-            substeps=substeps, max_rounds=mr, interpret=interpret,
+            substeps=sub, max_rounds=mr, interpret=interpret,
             domains=domains, macro=macro, has_vox=ctx.pages is not None,
+            group_rows=group_rows,
         )
     else:
         light, trans, unfinished = _trace_pallas_impl(
@@ -994,10 +1015,11 @@ _STATE2_DTYPES = {
 
 def _make_kernel2(
     rdims, size, n_regions, n_domains, max_iters, substeps, has_vox,
-    macro_steps=1, domains_per_iter=1,
+    macro_steps=1, domains_per_iter=1, grp=GROUP,
 ):
     rdy, rdz = rdims[1], rdims[2]
     sx, sy, sz = size
+    GROUP = grp  # shadows the module default for this kernel's tiles
 
     def region_id(cx, cy, cz):
         return ((cx >> 4) * rdy + (cy >> 4)) * rdz + (cz >> 4)
@@ -1336,12 +1358,15 @@ def _make_kernel2(
 
 
 def _run_kernel2(
-    rays, state_in, ctx2, max_iters, substeps, interpret, macro=1, domains=1
+    rays, state_in, ctx2, max_iters, substeps, interpret, macro=1, domains=1,
+    group_rows=None,
 ):
     """rays: dict of 12 flat [m] ray constants; state_in: dict of
     _STATE2_FIELDS flat [m]. Returns dict of _STATE2_FIELDS."""
     from jax.experimental import pallas as pl
 
+    GROUP = (group_rows or globals()["GROUP"][0], 128)
+    N_GROUP = GROUP[0] * GROUP[1]
     m = rays["ox"].shape[0]
     g = m // N_GROUP
     has_vox = ctx2.pages is not None
@@ -1349,6 +1374,7 @@ def _run_kernel2(
     kern = _make_kernel2(
         ctx2.rdims, ctx2.size, ctx2.n_regions, n_domains, max_iters,
         substeps, has_vox, macro_steps=macro, domains_per_iter=domains,
+        grp=GROUP,
     )
 
     def shape2(a):
@@ -1388,13 +1414,14 @@ def _run_kernel2(
     static_argnames=(
         "rdims", "n_regions", "options", "include_sky", "phases",
         "kernel_iters", "substeps", "max_rounds", "interpret", "macro",
-        "domains", "has_vox",
+        "domains", "has_vox", "group_rows",
     ),
 )
 def _trace_pallas_impl2(
     state: SpaceState, o, d, l1, rows, page_idx, pages, *, rdims,
     n_regions, options, include_sky, phases, kernel_iters, substeps,
     max_rounds, interpret, macro=1, domains=1, has_vox=True,
+    group_rows=None,
 ):
     size = state.contents.shape
     size_i = jnp.asarray(size, jnp.int32)
@@ -1455,7 +1482,8 @@ def _trace_pallas_impl2(
     def round_body(carry):
         st, fuel = carry
         out = _run_kernel2(
-            rays, st, ctx2, kernel_iters, substeps, interpret, macro, domains
+            rays, st, ctx2, kernel_iters, substeps, interpret, macro,
+            domains, group_rows,
         )
         return out, fuel - 1
 

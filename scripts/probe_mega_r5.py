@@ -73,6 +73,11 @@ def main():
         ("v2 macro2", dict(megakernel=True, macro=2)),
         ("v2 s8 macro2", dict(megakernel=True, substeps=8, macro=2)),
         ("v2 ph2", dict(megakernel=True, phases=2)),
+        ("v2 d2", dict(megakernel=True, domains=2)),
+        ("v2 d4", dict(megakernel=True, domains=4)),
+        ("v2 s8 d2", dict(megakernel=True, substeps=8, domains=2)),
+        ("v2 s8 d4", dict(megakernel=True, substeps=8, domains=4)),
+        ("v2 s8 d4 macro2", dict(megakernel=True, substeps=8, domains=4, macro=2)),
         ("v1 default", dict(megakernel=False)),
     ]
     if len(sys.argv) > 1:
