@@ -94,7 +94,9 @@ def _fetch_light_texel(state: SpaceState, cube):
     face_idx = jnp.argmax(
         jnp.concatenate([at_lower, at_upper], axis=-1).astype(jnp.int32), axis=-1
     )
-    sky_rgb = jnp.take(state.sky_faces, face_idx, axis=0)
+    # 6-row table lookup as one-hot matmul, not a per-ray gather
+    # (gathers cost per row — PERF.md).
+    sky_rgb = _onehot_matmul(face_idx, state.sky_faces)
     sky_val = jnp.concatenate(
         [sky_rgb, jnp.ones(sky_rgb.shape[:-1] + (1,), jnp.float32)], axis=-1
     )
@@ -322,8 +324,9 @@ def _interpolated_light(state: SpaceState, cube, point, face, mode: str):
 
 
 def _flat_light(state: SpaceState, cube, face):
-    normals = jnp.asarray(faces.FACE7_NORMALS, jnp.int32)
-    n = jnp.take(normals, jnp.clip(face, 0, 6), axis=0)
+    n = _onehot_matmul(
+        jnp.clip(face, 0, 6), np.asarray(faces.FACE7_NORMALS, np.float32)
+    ).astype(jnp.int32)
     rgbw, _ = _fetch_light_texel(state, cube + n)
     return rgbw[..., :3]
 
@@ -405,12 +408,19 @@ def make_phase_shader(state: SpaceState, options, o, d, d_len, t_to_view, sky_rg
     )
     interp_rows = _build_interp_rows(state) if use_interp_rows else None
 
+    # One combined material table: gathers cost per ROW (PERF.md), so
+    # separate palette/vox gathers were two ~2M-row gathers per phase
+    # (~20 ms each on atrium 1080p); a concat + kind-selected index makes
+    # it one.
+    n_pal = palette_rows.shape[0]
+    mat_rows = jnp.concatenate([palette_rows, vox_rows], axis=0)
+
     def shade(hits, light_acc, trans_acc, phase_illum=None):
         """Shade all buffered hits (one gather-heavy pass per phase)."""
         has_hit = hits["hit_kind"] != HIT_NONE
-        atom_row = jnp.take(palette_rows, hits["hit_idx"], axis=0)
-        vox_row = jnp.take(vox_rows, hits["hit_vflat"], axis=0)
-        mat = jnp.where((hits["hit_kind"] == HIT_VOXEL)[..., None], vox_row, atom_row)
+        is_vox = hits["hit_kind"] == HIT_VOXEL
+        mat_idx = jnp.where(is_vox, n_pal + hits["hit_vflat"], hits["hit_idx"])
+        mat = jnp.take(mat_rows, mat_idx, axis=0)
         rgba = mat[..., 0:4]
         emission = mat[..., 4:7]
 
@@ -1098,13 +1108,21 @@ def trace_rays(
 
 
 def _sky_sample(state: SpaceState, d):
-    """Sky::sample (sky.rs:35): octant by direction signs."""
-    oct_idx = (
-        (d[..., 0] >= 0).astype(jnp.int32) * 4
-        + (d[..., 1] >= 0).astype(jnp.int32) * 2
-        + (d[..., 2] >= 0).astype(jnp.int32)
-    )
-    return jnp.take(state.sky_octants, oct_idx, axis=0)
+    """Sky::sample (sky.rs:35): octant by direction signs.
+
+    Implemented as a 3-level select tree rather than a row gather: XLA
+    gathers cost per ROW (~100 M rows/s — PERF.md), so `jnp.take` of 2M
+    rays from the 8-row table was ~17 ms/frame on atrium 1080p; seven
+    [n,3] selects are pure VPU work (<1 ms)."""
+    oct = state.sky_octants  # [8, 3]
+    sx = d[..., 0:1] >= 0
+    sy = d[..., 1:2] >= 0
+    sz = d[..., 2:3] >= 0
+    s0 = jnp.where(sz, oct[1], oct[0])
+    s1 = jnp.where(sz, oct[3], oct[2])
+    s2 = jnp.where(sz, oct[5], oct[4])
+    s3 = jnp.where(sz, oct[7], oct[6])
+    return jnp.where(sx, jnp.where(sy, s3, s2), jnp.where(sy, s1, s0))
 
 
 @functools.partial(
