@@ -403,22 +403,42 @@ def _kernel_factory(
                     ]
 
             def fetch(ref, base, nrows, dx_s, roll_shift):
-                """Rows [base+dx_s, base+dx_s+nrows) of `ref` (relative to
-                its guard), lanes rolled: 16-aligned dynamic slice +
-                4-stage static select shift for the row remainder."""
+                """Rows [base+dx_s, base+dx_s+nrows) of `ref` (relative
+                to its guard), lanes rolled.
+
+                Compiled path: 16-aligned dynamic slice, then the row
+                remainder as a dynamic SUBLANE roll on the i32-packed
+                (bf16-pair) form composed with the lane roll — the
+                bitcasts between the two dynamic rolls defeat the Mosaic
+                roll-compose miscompile (probe_roll2), verified bit-exact
+                and 44% faster than the 4-stage select at kernel shape
+                (scripts/probe_fetch_r5.py). The packed roll moves even
+                row counts; one select handles the odd row. Interpreter
+                (and the `selfetch` ablate token) keeps the select-tree
+                reference path: the interpreter lacks TPU bitcast packing
+                semantics."""
                 dx16 = (dx_s >> 4) << 4
                 dxr = dx_s - dx16
                 start = pl.multiple_of(G + base + dx16, 16)
                 v = ref[pl.ds(start, nrows + 16), :]
-                if "noroll" not in ablate:
-                    v = lane_roll(v, roll_shift)
-                if "nosel" in ablate:
+                if interpret or "selfetch" in ablate:
+                    if "noroll" not in ablate:
+                        v = lane_roll(v, roll_shift)
+                    if "nosel" in ablate:
+                        return v[0:nrows, :]
+                    v = jnp.where((dxr & 8) != 0, v[8 : nrows + 16, :], v[0 : nrows + 8, :])
+                    v = jnp.where((dxr & 4) != 0, v[4 : nrows + 8, :], v[0 : nrows + 4, :])
+                    v = jnp.where((dxr & 2) != 0, v[2 : nrows + 4, :], v[0 : nrows + 2, :])
+                    v = jnp.where((dxr & 1) != 0, v[1 : nrows + 2, :], v[0 : nrows + 1, :])
                     return v[0:nrows, :]
-                v = jnp.where((dxr & 8) != 0, v[8 : nrows + 16, :], v[0 : nrows + 8, :])
-                v = jnp.where((dxr & 4) != 0, v[4 : nrows + 8, :], v[0 : nrows + 4, :])
-                v = jnp.where((dxr & 2) != 0, v[2 : nrows + 4, :], v[0 : nrows + 2, :])
-                v = jnp.where((dxr & 1) != 0, v[1 : nrows + 2, :], v[0 : nrows + 1, :])
-                return v[0:nrows, :]
+                w = pltpu.bitcast(v, jnp.int32)  # [(nrows+16)/2, L] row pairs
+                half = (nrows + 16) // 2
+                w = pltpu.roll(w, (half - (dxr >> 1)) % half, axis=0)
+                if "noroll" not in ablate:
+                    w = pltpu.roll(w, roll_shift, axis=1)
+                v = pltpu.bitcast(w, jnp.bfloat16)
+                v = jnp.where((dxr & 1) != 0, v[1 : nrows + 1, :], v[0:nrows, :])
+                return v
 
             # Dead-ray gate: alpha is monotone non-increasing along a
             # ray and every contribution is scaled by alpha*rw, so once
