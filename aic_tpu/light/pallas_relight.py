@@ -274,16 +274,28 @@ def _pack_planes_static(state: SpaceState, ctx: RelightCtx):
     )
 
 
-def _light_planes(light_u8, sky_faces, size, xp16, yp, zp, lanes):
+def _light_planes(
+    light_u8, sky_faces, size, xp16, yp, zp, lanes, ring=True, interior=True
+):
     """Decoded stored light planes (bf16) with the sky one-ring
-    (BlockSky::light_outside) — the per-pass kernel input."""
+    (BlockSky::light_outside) — the per-pass kernel input.
+
+    `ring`/`interior` select the two LINEAR components: the constant sky
+    one-ring and the iterated interior field. The static/dynamic pass
+    split (see _kernel_pass_planes) feeds ring-only planes to the full
+    kernel once and interior-only planes to the dyn kernel per pass;
+    their contributions sum exactly (every kernel term is linear in the
+    fetched light value)."""
     x, y, z = size
     light = jnp.zeros((xp16, yp, zp, 3), jnp.float32)
-    light = light.at[1 : 1 + x, 1 : 1 + y, 1 : 1 + z].set(
-        lightpack.decode_rgb(light_u8)
-    )
+    if interior:
+        light = light.at[1 : 1 + x, 1 : 1 + y, 1 : 1 + z].set(
+            lightpack.decode_rgb(light_u8)
+        )
     inner = (slice(1, 1 + x), slice(1, 1 + y), slice(1, 1 + z))
     for a in range(3):
+        if not ring:
+            break
         lo = [inner[0], inner[1], inner[2]]
         hi = [inner[0], inner[1], inner[2]]
         lo[a] = 0
@@ -324,10 +336,12 @@ _ABLATE: set = set()
 
 
 def _kernel_factory(
-    size, n_pairs, n_canon, xp16, lanes, zp_true, mirrors, interpret=False
+    size, n_pairs, n_canon, xp16, lanes, zp_true, mirrors, interpret=False,
+    dyn=False,
 ):
     """Build the pass kernel processing `mirrors` (a tuple of mirror ids)
-    per fori_loop iteration. grid covers the mirror groups."""
+    per fori_loop iteration. grid covers the mirror groups. `dyn` emits
+    the light-only variant (see _kernel_pass_planes)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -481,6 +495,11 @@ def _kernel_factory(
                     )
                 if "nofetchB" in ablate:
                     b_blk = emlight_ref[G : G + 6 * xp16, :]
+                elif dyn:
+                    # Light-only pass: the em planes are never read
+                    # (their contribution lives in the static planes).
+                    lb = fetch(emlight_ref, 3 * xp16, 3 * xp16, dx_m, roll_shift)
+                    b_blk = jnp.concatenate([lb, lb], axis=0)
                 else:
                     b_blk = fetch(emlight_ref, 0, 6 * xp16, dx_m, roll_shift)
                 if "noshade" in ablate:
@@ -527,12 +546,20 @@ def _kernel_factory(
                 arw = al * rwv
                 # Struck-face branch: reflect the light stored *behind*
                 # the face (carried in prev from the previous step).
-                cs = [
-                    (em[c] + fc * pv[c * xp16 : (c + 1) * xp16, :] * ha).astype(
-                        jnp.float32
-                    )
-                    for c, fc in enumerate((fc_r, fc_g, fc_b))
-                ]
+                if dyn:
+                    cs = [
+                        (fc * pv[c * xp16 : (c + 1) * xp16, :] * ha).astype(
+                            jnp.float32
+                        )
+                        for c, fc in enumerate((fc_r, fc_g, fc_b))
+                    ]
+                else:
+                    cs = [
+                        (em[c] + fc * pv[c * xp16 : (c + 1) * xp16, :] * ha).astype(
+                            jnp.float32
+                        )
+                        for c, fc in enumerate((fc_r, fc_g, fc_b))
+                    ]
                 c012 = [jnp.where(struck, v * arw, 0.0) for v in cs]
                 al = jnp.where(struck & ~hit_opaque, al * (1.0 - ha_f), al)
                 if "shade1" in ablate:
@@ -548,7 +575,10 @@ def _kernel_factory(
                 through = passing & (ha_f < 1.0) & ~hit_opaque
                 arw2 = al * rwv
                 for c in range(3):
-                    lt = (em[c] + own[c] * ha).astype(jnp.float32)
+                    if dyn:
+                        lt = (own[c] * ha).astype(jnp.float32)
+                    else:
+                        lt = (em[c] + own[c] * ha).astype(jnp.float32)
                     c012[c] = c012[c] + jnp.where(through, lt * arw2, 0.0)
                 al = jnp.where(through, al * (1.0 - ha_f), al)
                 if "shade2" in ablate:
@@ -561,15 +591,21 @@ def _kernel_factory(
 
                 al = jnp.where(hit_opaque, 0.0, al)
                 ends_now = exits | hit_opaque | (live & (al <= 0.0) & ~exits)
-                arw3 = al * rwv
-                for c in range(3):
-                    c012[c] = c012[c] + jnp.where(
-                        ends_now, skyray_ref[crow, c] * arw3, 0.0
-                    )
-                    inc_ref[c * xp16 : (c + 1) * xp16, :] = (
-                        inc_ref[c * xp16 : (c + 1) * xp16, :] + c012[c]
-                    )
-                tot_ref[:] = tot_ref[:] + jnp.where(ends_now, rwv, 0.0)
+                if dyn:
+                    for c in range(3):
+                        inc_ref[c * xp16 : (c + 1) * xp16, :] = (
+                            inc_ref[c * xp16 : (c + 1) * xp16, :] + c012[c]
+                        )
+                else:
+                    arw3 = al * rwv
+                    for c in range(3):
+                        c012[c] = c012[c] + jnp.where(
+                            ends_now, skyray_ref[crow, c] * arw3, 0.0
+                        )
+                        inc_ref[c * xp16 : (c + 1) * xp16, :] = (
+                            inc_ref[c * xp16 : (c + 1) * xp16, :] + c012[c]
+                        )
+                    tot_ref[:] = tot_ref[:] + jnp.where(ends_now, rwv, 0.0)
                 al = jnp.where(ends_now, 0.0, al)
 
                 alpha[j * xp16 : (j + 1) * xp16, :] = al
@@ -600,11 +636,45 @@ def _kernel_pass(
     state: SpaceState, ctx: RelightCtx, planes, interpret=False, n_groups=1
 ):
     """Traced single-pass body: planes dict → new packed light u8."""
+    size = state.contents.shape
+    x, y, z = size
+    xp16, yp, zp, lanes = _plane_shape(size)
+    inc, tot = _kernel_pass_planes(
+        state, ctx, planes, interpret=interpret, n_groups=n_groups
+    )
+
+    def from_plane(pl2d):  # [xp16, lanes] -> [x, y, z] interior
+        v = pl2d[:, : yp * zp].reshape(xp16, yp, zp)
+        return v[1 : 1 + x, 1 : 1 + y, 1 : 1 + z]
+
+    incoming = jnp.stack(
+        [from_plane(inc[i * xp16 : (i + 1) * xp16]) for i in range(3)], axis=-1
+    )
+    total_w = from_plane(tot)
+    return _finish(ctx, incoming + ctx.incoming0, total_w)
+
+
+def _kernel_pass_planes(
+    state: SpaceState,
+    ctx: RelightCtx,
+    planes,
+    interpret=False,
+    n_groups=1,
+    dyn=False,
+):
+    """One kernel pass returning RAW accumulator planes (inc f32
+    [3*xp16, lanes], tot f32 [xp16, lanes]).
+
+    `dyn=True` emits the light-only kernel: emission, sky-termination
+    and total-weight terms are omitted — those are light-INDEPENDENT
+    (the alpha/weight chain reads geometry only), so a single full pass
+    over ZERO light planes yields them once (`static_planes` in
+    converge_pallas) and every Jacobi iteration runs the ~25% cheaper
+    dyn kernel (measured 192 → 142 ms/pass on light_bench)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     size = state.contents.shape
-    x, y, z = size
     xp16, yp, zp, lanes = _plane_shape(size)
     ct = _canonical_tables(state.light_max_distance, size)
 
@@ -617,7 +687,8 @@ def _kernel_pass(
     n_m = len(groups[0])
     kernels = [
         _kernel_factory(
-            size, ct["n_pairs"], ct["n_canon"], xp16, lanes, zp, g, interpret
+            size, ct["n_pairs"], ct["n_canon"], xp16, lanes, zp, g, interpret,
+            dyn=dyn,
         )
         for g in groups
     ]
@@ -658,16 +729,7 @@ def _kernel_pass(
         )
         inc = out[0] if inc is None else inc + out[0]
         tot = out[1] if tot is None else tot + out[1]
-
-    def from_plane(pl2d):  # [xp16, lanes] -> [x, y, z] interior
-        v = pl2d[:, : yp * zp].reshape(xp16, yp, zp)
-        return v[1 : 1 + x, 1 : 1 + y, 1 : 1 + z]
-
-    incoming = jnp.stack(
-        [from_plane(inc[i * xp16 : (i + 1) * xp16]) for i in range(3)], axis=-1
-    )
-    total_w = from_plane(tot)
-    return _finish(ctx, incoming + ctx.incoming0, total_w)
+    return inc, tot
 
 
 def _resolve_split(state: SpaceState, ctx: RelightCtx) -> int:
@@ -746,12 +808,12 @@ def converge_pallas(
     Converged when no cube moves by more than 1 packed step. Returns
     (new packed light u8[X,Y,Z,4], passes_run i32)."""
     size = state.contents.shape
+    x, y, z = size
     xp16, yp, zp, lanes = _plane_shape(size)
     statics = _pack_planes_static(state, ctx)
 
-    def run_pass(light):
-        lp = _light_planes(light, state.sky_faces, size, xp16, yp, zp, lanes)
-        planes = dict(
+    def planes_for(lp):
+        return dict(
             face_stack=statics["face_stack"],
             em_light=jnp.concatenate(
                 [statics["guard"], statics["em_planes"], lp, statics["guard"]],
@@ -761,9 +823,43 @@ def converge_pallas(
             dw=statics["dw"],
             coords=statics["coords"],
         )
-        # _kernel_pass reads light only through `planes` (state supplies
-        # static shape/tables + sky), so the carry light threads via lp.
-        return _kernel_pass(state, ctx, planes, n_groups=n_groups)
+
+    # Static (light-independent) contributions, computed ONCE: the FULL
+    # kernel over ring-only planes yields emission, sky terminations,
+    # the constant sky one-ring and the total ray weights; every
+    # iteration then runs the cheaper light-only kernel (see
+    # _kernel_pass_planes — the split is exact by linearity).
+    ring_lp = _light_planes(
+        state.light, state.sky_faces, size, xp16, yp, zp, lanes,
+        ring=True, interior=False,
+    )
+    inc0, tot0 = _kernel_pass_planes(
+        state, ctx, planes_for(ring_lp), n_groups=n_groups
+    )
+
+    def from_plane(pl2d):  # [xp16, lanes] -> [x, y, z] interior
+        v = pl2d[:, : yp * zp].reshape(xp16, yp, zp)
+        return v[1 : 1 + x, 1 : 1 + y, 1 : 1 + z]
+
+    total_w = from_plane(tot0)
+
+    def run_pass(light):
+        lp = _light_planes(
+            light, state.sky_faces, size, xp16, yp, zp, lanes,
+            ring=False, interior=True,
+        )
+        # The dyn kernel reads light only through `planes` (state
+        # supplies static shape/tables), so the carry light threads
+        # via lp.
+        inc_d, _ = _kernel_pass_planes(
+            state, ctx, planes_for(lp), n_groups=n_groups, dyn=True
+        )
+        inc = inc_d + inc0
+        incoming = jnp.stack(
+            [from_plane(inc[i * xp16 : (i + 1) * xp16]) for i in range(3)],
+            axis=-1,
+        )
+        return _finish(ctx, incoming + ctx.incoming0, total_w)
 
     def body(carry):
         light, passes, _ = carry
