@@ -624,8 +624,13 @@ def evaluate_light_dense(
     if split:
         from .pallas_relight import converge_pallas
 
+        # Mild over-relaxation accelerates the diffuse interreflection
+        # spectrum (measured: 18 -> 15 passes on light_bench at w=1.3
+        # with the final field within one packed step of plain Jacobi —
+        # the stop criterion always judges an UN-extrapolated pass, see
+        # converge_pallas; w >= 1.5 diverges in packed space, probed).
         light, passes = converge_pallas(
-            state, ctx, max_passes=max_passes, n_groups=split
+            state, ctx, max_passes=max_passes, n_groups=split, overrelax=1.3
         )
     else:
         light, passes = _converge_xla(state, ctx, max_passes=max_passes)
