@@ -167,10 +167,28 @@ def run_suite(smoke: bool = False):
         box = 16 if smoke else 32
         cam.look_at(np.array([0.5, 0.5, 1.6]) * box, (box / 2,) * 3)
         o, d = cam.pixel_rays()
+        if smoke:
+            # CPU platform: compiled Mosaic kernels don't lower — time
+            # the XLA tracer only.
+            dt = _time(lambda: trace_rays(cornell_state, o, d, opts)[0], n=3)
+            extra[f"raytrace_cornell{res}_mrays"] = round(
+                res * res / dt / 1e6, 3
+            )
+            return
+        # Config 1 runs the production (pallas) tracer — the r4 number
+        # understated the engine by timing the XLA fallback here.
+        from aic_tpu.raytrace.pallas_trace import trace_rays_pallas
+
         dt = _time(
-            lambda: trace_rays(cornell_state, o, d, opts)[0], n=3 if smoke else 10
+            lambda: trace_rays_pallas(cornell_state, o, d, opts)[0], n=10
         )
         extra[f"raytrace_cornell{res}_mrays"] = round(res * res / dt / 1e6, 3)
+        dt_xla = _time(
+            lambda: trace_rays(cornell_state, o, d, opts)[0], n=3
+        )
+        extra[f"raytrace_cornell{res}_xla_mrays"] = round(
+            res * res / dt_xla / 1e6, 3
+        )
 
     if cornell_state is not None:
         section("cornell_trace", cornell_trace)
@@ -178,7 +196,11 @@ def run_suite(smoke: bool = False):
     # --- demo-city step loop (BASELINE config 3: 60 Hz budget) ------------
     def demo_city_step():
         u = build_universe("demo-city", TemplateParameters(seed=0))
-        for _ in range(3):  # warm compile caches (physics + light kernels)
+        # Warm compile caches (physics + light kernels) AND the first
+        # palette-growth window: behavior commits intern new blocks over
+        # the first ~30 steps, each growth recompiling the tick plan
+        # (measured ~35 ms/step during that window, 16 ms steady after).
+        for _ in range(35):
             u.step()
         t0 = time.perf_counter()
         n_steps = 30
@@ -192,6 +214,115 @@ def run_suite(smoke: bool = False):
 
     if not smoke:
         section("step_demo_city", demo_city_step)
+
+    # --- interactive full loop (BASELINE config 5) ------------------------
+    # Concurrent step (fused device tick incl. light rounds) + a 1080p
+    # raytrace of the current state each frame, animated blocks live. The
+    # pallas tracer's bitmask context is host-built per contents change —
+    # that rebuild is part of the honest per-frame cost.
+    def interactive_loop():
+        from aic_tpu.raytrace.pallas_trace import trace_rays_pallas
+
+        u = build_universe("demo-city", TemplateParameters(seed=0))
+        sp = u.spaces["world"]
+        opts5 = GraphicsOptions(
+            lighting_display="smoothstep", fog="none", transparency="surface"
+        )
+        cam = Camera(opts5, Viewport(1920, 1080))
+        sz = np.asarray(sp.bounds.size, np.float64)
+        lo = np.asarray(sp.bounds.lower, np.float64)
+        cam.look_at(lo + sz * np.array([0.5, 0.6, 0.95]), lo + sz * 0.5)
+        o, d = cam.pixel_rays()
+        for _ in range(3):  # warm step+light compiles
+            u.step()
+        frame = trace_rays_pallas(u.states["world"], o, d, opts5)[0]
+        _sync(frame)  # warm the trace compile
+        n_frames = 10
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            u.step()
+            frame = trace_rays_pallas(u.states["world"], o, d, opts5)[0]
+        _sync(frame)
+        dt = (time.perf_counter() - t0) / n_frames
+        extra["interactive_frame_ms"] = round(dt * 1e3, 1)
+        extra["interactive_fps"] = round(1.0 / dt, 2)
+
+    if not smoke:
+        section("interactive", interactive_loop)
+
+    # --- WebSocket streaming session latency (config 5 interactivity) ----
+    def ws_latency():
+        import json as _json
+        import socket
+        import struct
+
+        from aic_tpu.apps.server import SessionServer
+        from aic_tpu.apps.session import Session
+        from aic_tpu.raytrace import Viewport
+
+        def _client_frame(payload, opcode=0x1):
+            key = b"\x01\x02\x03\x04"
+            masked = bytes(b ^ key[i & 3] for i, b in enumerate(payload))
+            return bytes([0x80 | opcode, 0x80 | len(payload)]) + key + masked
+
+        def _read_server_frame(f):
+            head = f.read(2)
+            opcode = head[0] & 0x0F
+            n = head[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", f.read(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", f.read(8))[0]
+            return opcode, f.read(n)
+
+        def _handshake(port):
+            sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+            sock.sendall(
+                b"GET /ws HTTP/1.1\r\nHost: 127.0.0.1\r\n"
+                b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                b"Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+                b"Sec-WebSocket-Version: 13\r\n\r\n"
+            )
+            f = sock.makefile("rb")
+            assert b"101" in f.readline()
+            while f.readline().strip():
+                pass
+            return sock, f
+
+        s = Session(build_universe("blank"), viewport=Viewport(64, 48))
+        s.render()
+        srv = SessionServer(s, port=0, stream_fps=60.0)
+        srv.start()
+        lat = []
+        try:
+            sock, f = _handshake(srv.port)
+            for _ in range(8):
+                t_send = time.perf_counter()
+                sock.sendall(
+                    _client_frame(
+                        _json.dumps({"keys": [], "t": int(t_send * 1e6)}).encode()
+                    )
+                )
+                deadline = time.time() + 10
+                while time.time() < deadline:
+                    opcode, payload = _read_server_frame(f)
+                    if opcode == 0x1:
+                        meta = _json.loads(payload)
+                        if meta.get("echo_t") == int(t_send * 1e6):
+                            lat.append(time.perf_counter() - t_send)
+                            break
+            sock.sendall(_client_frame(b"", opcode=0x8))
+            sock.close()
+        finally:
+            srv.shutdown()
+        if lat:
+            lat.sort()
+            extra["ws_input_to_frame_ms"] = round(
+                lat[len(lat) // 2] * 1e3, 1
+            )
+
+    if not smoke:
+        section("ws_latency", ws_latency)
 
     # --- headline: atrium 1080p (north star, BASELINE config 4) ----------
     def atrium_headline():
