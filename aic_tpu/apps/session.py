@@ -395,11 +395,14 @@ class Session:
         light, trans = render_hdr(state, cam)
         if self.options.exposure_auto:
             self._adapt_exposure(light)
-        if self.options.bloom_intensity > 0.0:
-            light = apply_bloom(light, self.options.bloom_intensity)
-        rgb = cam.post_process(light)
-        srgb = linear_to_srgb8(rgb)
-        alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
+        # One compiled program for the whole post chain (bloom +
+        # exposure/tone-map + sRGB + alpha): eager per-op dispatch costs
+        # a relay round trip each on the tunneled TPU backend.
+        from ..raytrace.render import _finish_frame
+
+        srgb, alpha = _finish_frame(
+            light, trans, jnp.float32(cam.exposure), self.options
+        )
         img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
         if self.particles:
             img = self._draw_particles(img, cam)

@@ -10,8 +10,10 @@ here is one device computation.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +22,23 @@ from ..space.state import SpaceState
 from .camera import Camera, Viewport
 from .options import GraphicsOptions
 from .tracer import trace_rays
+
+
+def _use_pallas(state, origins) -> bool:
+    """Engine dispatch for the production render path: the Pallas
+    megakernel wins at large ray counts on the TPU (25.7 vs 4.9 Mrays/s
+    on atrium 1080p) but loses to the XLA tracer below ~0.5M rays
+    (cornell 256²: 1.6 vs 2.2 — per-program loop serialization doesn't
+    amortize) and cannot hold voxel resolutions > 16 (the caller falls
+    back on ValueError for that case)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    n_rays = 1
+    for s in origins.shape[:-1]:
+        n_rays *= int(s)
+    return n_rays >= 1 << 19
 
 
 @dataclass
@@ -53,10 +72,22 @@ def render_hdr(
         )
         stats = None
     else:
-        out = trace_rays(
-            state, origins, directions, opts, include_sky=include_sky,
-            return_stats=with_stats,
-        )
+        out = None
+        if _use_pallas(state, origins):
+            from .pallas_trace import trace_rays_pallas
+
+            try:
+                out = trace_rays_pallas(
+                    state, origins, directions, opts,
+                    include_sky=include_sky, return_stats=with_stats,
+                )
+            except ValueError:
+                out = None  # state exceeds kernel tables → XLA below
+        if out is None:
+            out = trace_rays(
+                state, origins, directions, opts, include_sky=include_sky,
+                return_stats=with_stats,
+            )
         light, trans = out[0], out[1]
         stats = out[2] if with_stats else None
     if aa:
@@ -155,15 +186,20 @@ def apply_bloom(light, intensity: float):
     return light * (1.0 - intensity) + bloom * intensity
 
 
-def auto_exposure_target(light) -> float:
-    """Scene-adaptive exposure (character/exposure.rs:67): target such
-    that the mean log luminance maps to middle grey. Returns a host float
-    for the camera's smoothed exposure state."""
+@jax.jit
+def _mean_log_luminance(light):
     lum = (
         light[..., 0] * 0.2126 + light[..., 1] * 0.7152 + light[..., 2] * 0.0722
     )
-    mean_log = jnp.mean(jnp.log2(jnp.maximum(lum, 1e-6)))
-    return float(0.5 / jnp.exp2(mean_log))
+    return jnp.mean(jnp.log2(jnp.maximum(lum, 1e-6)))
+
+
+def auto_exposure_target(light) -> float:
+    """Scene-adaptive exposure (character/exposure.rs:67): target such
+    that the mean log luminance maps to middle grey. Returns a host float
+    for the camera's smoothed exposure state (one compiled reduce + one
+    scalar readback — this runs every interactive frame)."""
+    return float(0.5 / np.exp2(np.asarray(_mean_log_luminance(light))))
 
 
 #: Volume above which `render` windows the state to the camera's visible
@@ -199,15 +235,40 @@ def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rende
         light, trans, stats = render_hdr(state, camera, include_sky, with_stats=True)
         if bool(np.asarray(stats["unfinished"])):
             flaws.append("UNFINISHED")  # rays exhausted their step budget
-    if camera.options.bloom_intensity > 0.0:
-        light = apply_bloom(light, camera.options.bloom_intensity)
-    rgb = camera.post_process(light)
-    srgb = linear_to_srgb8(rgb)
-    alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
+    srgb, alpha = _finish_frame(
+        light, trans, jnp.float32(camera.exposure), camera.options
+    )
     img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
     return Rendering(
         camera.viewport.width, camera.viewport.height, img, tuple(flaws)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _finish_frame(light, trans, exposure, options):
+    """Bloom + exposure/tone-map + sRGB + alpha as ONE compiled program.
+
+    These were eager jnp ops; on the tunneled TPU backend each eager op
+    is a relay dispatch, which made the per-frame tail cost seconds in
+    interactive sessions. Exposure is a TRACED argument so auto-exposure
+    (a new float every frame) does not recompile."""
+    if options.bloom_intensity > 0.0:
+        light = apply_bloom(light, options.bloom_intensity)
+    rgb = light * exposure
+    maxi = options.maximum_intensity
+    if np.isfinite(maxi):
+        if options.tone_mapping == "reinhard":
+            lum = (
+                rgb[..., 0] * 0.2126
+                + rgb[..., 1] * 0.7152
+                + rgb[..., 2] * 0.0722
+            )
+            rgb = rgb / (1.0 + lum / jnp.float32(maxi))[..., None]
+        else:
+            rgb = jnp.minimum(rgb, jnp.float32(maxi))
+    srgb = linear_to_srgb8(rgb)
+    alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
+    return srgb, alpha
 
 
 def render_pixel_cost(state: SpaceState, camera: Camera) -> Rendering:
