@@ -400,10 +400,11 @@ class Session:
         # a relay round trip each on the tunneled TPU backend.
         from ..raytrace.render import _finish_frame
 
-        srgb, alpha = _finish_frame(
-            light, trans, jnp.float32(cam.exposure), self.options
+        # np.array (not asarray): overlays draw into this buffer in
+        # place, and a jax __array__ view may be read-only.
+        img = np.array(
+            _finish_frame(light, trans, jnp.float32(cam.exposure), self.options)
         )
-        img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
         if self.particles:
             img = self._draw_particles(img, cam)
         if self.debug_cursor and self._last_cursor is not None:

@@ -235,10 +235,9 @@ def render(state: SpaceState, camera: Camera, include_sky: bool = True) -> Rende
         light, trans, stats = render_hdr(state, camera, include_sky, with_stats=True)
         if bool(np.asarray(stats["unfinished"])):
             flaws.append("UNFINISHED")  # rays exhausted their step budget
-    srgb, alpha = _finish_frame(
-        light, trans, jnp.float32(camera.exposure), camera.options
+    img = np.asarray(
+        _finish_frame(light, trans, jnp.float32(camera.exposure), camera.options)
     )
-    img = np.concatenate([np.asarray(srgb), np.asarray(alpha)[..., None]], axis=-1)
     return Rendering(
         camera.viewport.width, camera.viewport.height, img, tuple(flaws)
     )
@@ -268,7 +267,8 @@ def _finish_frame(light, trans, exposure, options):
             rgb = jnp.minimum(rgb, jnp.float32(maxi))
     srgb = linear_to_srgb8(rgb)
     alpha = jnp.clip(jnp.round((1.0 - trans) * 255.0), 0, 255).astype(jnp.uint8)
-    return srgb, alpha
+    # One RGBA array = one device->host readback per frame.
+    return jnp.concatenate([srgb, alpha[..., None]], axis=-1)
 
 
 def render_pixel_cost(state: SpaceState, camera: Camera) -> Rendering:

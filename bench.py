@@ -75,14 +75,26 @@ def _relight_reference_ratio(extra):
     ratio >1 means our device relight converges faster than the
     reference procedure does on CPU."""
     try:
-        from aic_tpu.native import ref_relight_light_bench
+        from aic_tpu.native import ref_relight_light_bench, ref_relight_state
 
         ref_s, ref_cubes = ref_relight_light_bench()
         extra["relight_reference_light_bench_s"] = round(ref_s, 3)
-        extra["relight_reference_threads"] = os.cpu_count()
+        extra["relight_reference_threads"] = 1  # the C++ is single-thread
         ours = extra.get("relight_light_bench_s")
         if ours:
             extra["relight_vs_reference_ratio"] = round(ref_s / ours, 2)
+        # Second workload point: the enclosed cornell box (walls bound
+        # every ray) — the queue procedure's working set is large there
+        # where light_bench's (post scene-parity fix) is small.
+        from aic_tpu.content import cornell_box
+
+        ref_c, _ = ref_relight_state(cornell_box(32).snapshot())
+        extra["relight_reference_cornell32_s"] = round(ref_c, 3)
+        ours_c = extra.get("relight_cornell32_s")
+        if ours_c:
+            extra["relight_vs_reference_cornell_ratio"] = round(
+                ref_c / ours_c, 2
+            )
     except Exception as e:  # pragma: no cover - denominator is best-effort
         extra["relight_reference_error"] = f"{type(e).__name__}: {e}"
 
