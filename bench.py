@@ -191,19 +191,23 @@ def run_suite(smoke: bool = False):
                 res * res / dt / 1e6, 3
             )
             return
-        # Config 1 runs the production (pallas) tracer — the r4 number
-        # understated the engine by timing the XLA fallback here.
+        # Config 1: the XLA tracer is the production engine at this ray
+        # count (render()'s dispatch threshold — the pallas kernel's
+        # serial per-program loops don't amortize below ~0.5M rays);
+        # the pallas number is recorded alongside.
         from aic_tpu.raytrace.pallas_trace import trace_rays_pallas
 
-        dt = _time(
-            lambda: trace_rays_pallas(cornell_state, o, d, opts)[0], n=10
-        )
-        extra[f"raytrace_cornell{res}_mrays"] = round(res * res / dt / 1e6, 3)
         dt_xla = _time(
-            lambda: trace_rays(cornell_state, o, d, opts)[0], n=3
+            lambda: trace_rays(cornell_state, o, d, opts)[0], n=10
         )
-        extra[f"raytrace_cornell{res}_xla_mrays"] = round(
+        extra[f"raytrace_cornell{res}_mrays"] = round(
             res * res / dt_xla / 1e6, 3
+        )
+        dt_p = _time(
+            lambda: trace_rays_pallas(cornell_state, o, d, opts)[0], n=5
+        )
+        extra[f"raytrace_cornell{res}_pallas_mrays"] = round(
+            res * res / dt_p / 1e6, 3
         )
 
     if cornell_state is not None:
