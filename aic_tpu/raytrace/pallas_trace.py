@@ -751,8 +751,9 @@ def trace_rays_pallas(
     per-iteration loop floor (measured 105 -> 81 ms on atrium 1080p) —
     and 8 rows below that, where padding waste would dominate.
 
-    Raises ValueError for states the kernel can't hold (> 4096 regions or
-    voxel resolution > 16) — callers fall back to the XLA tracer.
+    Raises ValueError for states the kernel can't hold (> 4096 regions;
+    voxel resolution > 32, v2 walks R32 grids as 8 octant rows;
+    > 16 for the v1 kernel) — callers fall back to the XLA tracer.
     """
     if megakernel is None:
         megakernel = _megakernel_fits(state)
@@ -816,7 +817,7 @@ def trace_rays_pallas(
             include_sky=include_sky, phases=phases, kernel_iters=kit,
             substeps=sub, max_rounds=mr, interpret=interpret,
             domains=domains, macro=macro, has_vox=ctx.pages is not None,
-            group_rows=group_rows,
+            group_rows=group_rows, has_r32=ctx.has_r32,
         )
     else:
         light, trans, unfinished = _trace_pallas_impl(
@@ -882,51 +883,135 @@ MODE_RESTORE = 3
 
 
 class BitmaskCtx2(NamedTuple):
-    rows: jax.Array  # u32[n_domains, 128] visibility bits (regions + ventries)
+    rows: jax.Array  # u32[n_domains, 128] visibility bits (regions + vrows)
     l1: jax.Array  # u32[1, 128]
     page_idx: jax.Array | None  # i32[n_regions_pad, 8] region -> page or -1
-    pages: jax.Array | None  # u32[n_pages*16, 128] u16 classify codes, 2/word
+    pages: jax.Array | None  # u32[n_pages*32, 128] u32 classify codes
     rdims: tuple
     size: tuple
     n_regions: int
     n_ventries: int
+    has_r32: bool
+
+
+#: Page geometry: one u32 code per cube of a region → 16³ words = 32
+#: rows of 128 lanes.
+PAGE_ROWS = 32
 
 
 def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
-    """v2 context: v1 rows + per-region classify pages.
+    """v2 context: occupancy rows + per-region classify pages.
 
-    A page stores, per cube, u16 code = `0x8000 | res_log2<<12 | ventry`
-    for voxel-block cubes and `palette_index` (bit 15 clear) for atoms —
-    everything the kernel needs to either finalize an atom hit (palette
-    id for shading) or push into the block's voxel grid, with no XLA
-    round trip (the packed-cells gather measured 16.9 ms per round on
-    atrium 1080p). Scenes with NO voxel blocks skip pages entirely: the
-    kernel finalizes every outer hit and atom palette ids resolve in one
-    XLA gather per phase (cheap at sub-megaray counts; such scenes also
-    tend to be the huge-volume ones where pages would not fit VMEM)."""
-    base = build_bitmask_ctx(state)
+    A page stores one u32 code per cube:
+      bit 31      voxel-block flag
+      bits 28-30  res_log2 (1..5 → R2..R32)
+      bits 14-27  ventry (index into the voxel shading tables)
+      bits 0-13   ventry ROW base (index into `rows`; R32 entries own 8
+                  consecutive rows, one 16³ bit-plane per octant)
+    Atoms carry their palette index (bit 31 clear) — everything the
+    kernel needs to either finalize an atom hit or push into the
+    block's voxel grid with no XLA round trip. R32 blocks walk at
+    octant granularity: the carried domain hops between the entry's 8
+    rows exactly like outer region transitions. Scenes with NO voxel
+    blocks skip pages entirely (outer hits finalize in-kernel; palette
+    ids resolve in one XLA gather per phase)."""
     t = state.tables
     contents = np.asarray(state.contents)
     visible = np.asarray(t.visible)[contents]
+    sx, sy, sz = contents.shape
+    rd = (-(-sx // REGION), -(-sy // REGION), -(-sz // REGION))
+    n_regions = rd[0] * rd[1] * rd[2]
+    if n_regions > MAX_REGIONS:
+        raise ValueError(
+            f"{n_regions} regions > {MAX_REGIONS}: window the state or "
+            "use the XLA tracer"
+        )
+    if t.padded_voxel_resolution > 2 * REGION:
+        raise ValueError(
+            f"voxel resolution {t.padded_voxel_resolution} > "
+            f"{2 * REGION} unsupported"
+        )
+
+    rows = np.empty((n_regions, 128), np.uint32)
+    l1_bits = np.zeros(n_regions, bool)
+    for rx in range(rd[0]):
+        for ry in range(rd[1]):
+            for rz in range(rd[2]):
+                sub = visible[
+                    rx * REGION : (rx + 1) * REGION,
+                    ry * REGION : (ry + 1) * REGION,
+                    rz * REGION : (rz + 1) * REGION,
+                ]
+                rid = (rx * rd[1] + ry) * rd[2] + rz
+                rows[rid] = _pack_bits_3d(sub, REGION)
+                l1_bits[rid] = sub.any()
+    l1_words = np.zeros(128, np.uint32)
+    idx = np.nonzero(l1_bits)[0]
+    np.bitwise_or.at(
+        l1_words, idx >> 5, np.uint32(1) << (idx & 31).astype(np.uint32)
+    )
+
+    # Ventry rows: R<=16 entries pack R³ bits at native edge in ONE row;
+    # R32 entries own 8 rows (one 16³ octant each). A voxel is visible
+    # if it has alpha or emission (the packed-cells predicate).
+    vr = np.asarray(t.vox_rows)
+    vis_v = (vr[..., 3] > 0.0) | (vr[..., 4:7] != 0.0).any(-1)
+    n_ventries = vis_v.shape[0]
     voxel_index = np.asarray(t.voxel_index)
     res_log2 = np.asarray(t.res_log2)
+    ventry_res = np.zeros(n_ventries, np.int32)
+    live = voxel_index >= 0
+    ventry_res[voxel_index[live]] = 1 << res_log2[live]
+    vrow_base = np.zeros(n_ventries, np.int32)
+    vrow_list = []
+    has_r32 = False
+    for v in range(n_ventries):
+        r = int(ventry_res[v]) or 1
+        vrow_base[v] = len(vrow_list)
+        if r <= REGION:
+            vrow_list.append(_pack_bits_3d(vis_v[v][:r, :r, :r], r))
+        else:
+            has_r32 = True
+            for ox in range(2):
+                for oy in range(2):
+                    for oz in range(2):
+                        sub = vis_v[v][
+                            ox * 16 : ox * 16 + 16,
+                            oy * 16 : oy * 16 + 16,
+                            oz * 16 : oz * 16 + 16,
+                        ]
+                        vrow_list.append(_pack_bits_3d(sub, REGION))
+    if len(vrow_list) >= 1 << 14 or n_ventries >= 1 << 14:
+        raise ValueError(
+            f"{len(vrow_list)} ventry rows / {n_ventries} entries exceed "
+            "the 14-bit classify-code fields: use the XLA tracer"
+        )
+    vrows = (
+        np.stack(vrow_list, axis=0)
+        if vrow_list
+        else np.zeros((0, 128), np.uint32)
+    )
+    all_rows = np.concatenate([rows, vrows], axis=0)
+
     ventry_cube = voxel_index[contents]  # -1 for atoms/air
     vox_cube = visible & (ventry_cube >= 0)
     if not vox_cube.any():
         return BitmaskCtx2(
-            rows=base.rows, l1=base.l1, page_idx=None, pages=None,
-            rdims=base.rdims, size=base.size, n_regions=base.n_regions,
-            n_ventries=base.n_ventries,
+            rows=jnp.asarray(all_rows), l1=jnp.asarray(l1_words[None, :]),
+            page_idx=None, pages=None, rdims=rd, size=(sx, sy, sz),
+            n_regions=n_regions, n_ventries=n_ventries, has_r32=False,
         )
-    res_cube = res_log2[contents]
+    res_cube = res_log2[contents].astype(np.int64)
+    vent_safe = np.maximum(ventry_cube, 0)
     code = np.where(
         vox_cube,
-        0x8000 | (ventry_cube & 0xFFF) | (res_cube.astype(np.int64) << 12),
+        (1 << 31)
+        | (res_cube << 28)
+        | (vent_safe.astype(np.int64) << 14)
+        | vrow_base[vent_safe].astype(np.int64),
         contents,
     ).astype(np.uint32)
 
-    rd = base.rdims
-    n_regions = base.n_regions
     page_idx = np.full(n_regions, -1, np.int32)
     page_list = []
     for rx in range(rd[0]):
@@ -940,29 +1025,28 @@ def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
                 ]
                 if not visible[sl].any():
                     continue  # never hit -> no page
-                # u16 page: REGION³ codes, index (x*16+y)*16+z, 2/word.
                 codes = np.zeros((REGION, REGION, REGION), np.uint32)
                 s = code[sl]
                 codes[: s.shape[0], : s.shape[1], : s.shape[2]] = s
-                flat = codes.reshape(-1)
-                words = flat[0::2] | (flat[1::2] << 16)
                 page_idx[rid] = len(page_list)
-                page_list.append(words.reshape(16, 128).astype(np.uint32))
+                page_list.append(
+                    codes.reshape(PAGE_ROWS, 128).astype(np.uint32)
+                )
     # Pad the page count to a multiple of 8 so small occupancy changes
     # between animation frames keep the pages array shape (and thus the
     # jitted tracer program) stable.
     while len(page_list) % 8:
-        page_list.append(np.zeros((16, 128), np.uint32))
+        page_list.append(np.zeros((PAGE_ROWS, 128), np.uint32))
     pages = np.concatenate(page_list, axis=0)
     npad = -(-n_regions // 8) * 8
     pidx = np.zeros((npad, 8), np.int32)
     pidx[:n_regions, 0] = page_idx
     return BitmaskCtx2(
-        rows=base.rows, l1=base.l1,
+        rows=jnp.asarray(all_rows), l1=jnp.asarray(l1_words[None, :]),
         page_idx=jnp.asarray(pidx),
         pages=jnp.asarray(pages),
-        rdims=base.rdims, size=base.size, n_regions=base.n_regions,
-        n_ventries=base.n_ventries,
+        rdims=rd, size=(sx, sy, sz),
+        n_regions=n_regions, n_ventries=n_ventries, has_r32=has_r32,
     )
 
 
@@ -996,7 +1080,7 @@ def _megakernel_fits(state: SpaceState) -> bool:
 #: v2 per-ray state threading through kernel launches (all [m]).
 _STATE2_FIELDS = (
     "dom", "cx", "cy", "cz", "tmx", "tmy", "tmz",
-    "tdx", "tdy", "tdz", "resl", "mode",
+    "tdx", "tdy", "tdz", "resl", "mode", "vbase",
     "hit", "pidx", "face", "t", "nt", "hx", "hy", "hz",
     "sdom", "scx", "scy", "scz", "stmx", "stmy", "stmz",
 )
@@ -1004,7 +1088,7 @@ _STATE2_DTYPES = {
     "dom": jnp.int32, "cx": jnp.int32, "cy": jnp.int32, "cz": jnp.int32,
     "tmx": jnp.float32, "tmy": jnp.float32, "tmz": jnp.float32,
     "tdx": jnp.float32, "tdy": jnp.float32, "tdz": jnp.float32,
-    "resl": jnp.int32, "mode": jnp.int32,
+    "resl": jnp.int32, "mode": jnp.int32, "vbase": jnp.int32,
     "hit": jnp.int32, "pidx": jnp.int32, "face": jnp.int32,
     "t": jnp.float32, "nt": jnp.float32,
     "hx": jnp.int32, "hy": jnp.int32, "hz": jnp.int32,
@@ -1015,7 +1099,7 @@ _STATE2_DTYPES = {
 
 def _make_kernel2(
     rdims, size, n_regions, n_domains, max_iters, substeps, has_vox,
-    macro_steps=1, domains_per_iter=1, grp=GROUP,
+    macro_steps=1, domains_per_iter=1, grp=GROUP, has_r32=False,
 ):
     rdy, rdz = rdims[1], rdims[2]
     sx, sy, sz = size
@@ -1171,11 +1255,42 @@ def _make_kernel2(
                     (ncx < 0) | (ncx >= redge) | (ncy < 0) | (ncy >= redge)
                     | (ncz < 0) | (ncz >= redge)
                 )
+                if has_r32:
+                    # R32 voxel grids: 8 rows per entry, one 16³ octant
+                    # each. Crossing an octant boundary inside the grid
+                    # hops the carried domain to the neighbor row like
+                    # an outer region transition (no commit this step;
+                    # the ray re-steps under the new row next iteration).
+                    in32 = inner & (resl == 5)
 
-                lx = jnp.clip(jnp.where(inner, ncx, ncx & 15), 0, 15)
-                ly = jnp.clip(jnp.where(inner, ncy, ncy & 15), 0, 15)
-                lz = jnp.clip(jnp.where(inner, ncz, ncz & 15), 0, 15)
-                edge_l2 = jnp.where(inner, resl, 4)
+                    def octant(ax_, ay_, az_):
+                        # Clip first: the one-early entry cube can sit
+                        # just outside the grid; its octant must match
+                        # the (clipped) octant chosen at push time.
+                        ax_ = jnp.clip(ax_, 0, 31)
+                        ay_ = jnp.clip(ay_, 0, 31)
+                        az_ = jnp.clip(az_, 0, 31)
+                        return (
+                            ((ax_ >> 4) & 1) * 4
+                            + ((ay_ >> 4) & 1) * 2
+                            + ((az_ >> 4) & 1)
+                        )
+
+                    # ABSOLUTE target row (n_regions + carried base +
+                    # octant): an incremental dom-oct(cx)+oct(nc) form
+                    # corrupts dom when the hop re-evaluates before the
+                    # ray commits into the new octant (cx still carries
+                    # the old octant then).
+                    dom_inner = n_regions + s["vbase"] + octant(
+                        ncx, ncy, ncz
+                    )
+                    oct_change = in32 & ~in_exit & (dom_inner != dom)
+                    region_change = region_change | oct_change
+
+                lx = jnp.clip(ncx & 15, 0, 15)
+                ly = jnp.clip(ncy & 15, 0, 15)
+                lz = jnp.clip(ncz & 15, 0, 15)
+                edge_l2 = jnp.where(inner, jnp.minimum(resl, 4), 4)
                 local = (((lx << edge_l2) + ly) << edge_l2) + lz
                 widx = jnp.clip(local >> 5, 0, 127)
                 word = jnp.take_along_axis(rows_loaded[0], widx, axis=-1)
@@ -1189,9 +1304,10 @@ def _make_kernel2(
                 )
 
                 commit = act & ~region_change
-                dom = jnp.where(
-                    act & region_change, region_id(ncx, ncy, ncz), dom
-                )
+                new_dom = region_id(ncx, ncy, ncz)
+                if has_r32:
+                    new_dom = jnp.where(oct_change, dom_inner, new_dom)
+                dom = jnp.where(act & region_change, new_dom, dom)
                 s2 = dict(s)
                 s2["dom"] = dom
                 s2["cx"] = jnp.where(commit, ncx, cx)
@@ -1257,29 +1373,34 @@ def _make_kernel2(
                     hxc, hyc, hzc = s["hx"] & 15, s["hy"] & 15, s["hz"] & 15
                     local = (((hxc << 4) + hyc) << 4) + hzc
                     page = pidx_ref[safe_p, 0]
-                    # Classify code: u16 pairs in 16 rows/page. Rays hit
-                    # only visible cubes, whose regions always own a page.
+                    # Classify code: one u32 per cube, PAGE_ROWS rows per
+                    # page. Rays hit only visible cubes, whose regions
+                    # always own a page.
                     prows = pages_ref[
-                        pl.dslice(jnp.maximum(page, 0) * 16, 16), :
+                        pl.dslice(
+                            jnp.maximum(page, 0) * PAGE_ROWS, PAGE_ROWS
+                        ), :
                     ]
-                    lane = jnp.clip((local >> 1) & 127, 0, 127)
-                    rsel = local >> 8
+                    lane = jnp.clip(local & 127, 0, 127)
+                    rsel = local >> 7
                     val = jnp.zeros(GROUP, jnp.uint32)
-                    for krow in range(16):
+                    for krow in range(PAGE_ROWS):
                         wk = jnp.take_along_axis(
                             jnp.broadcast_to(prows[krow : krow + 1, :], GROUP),
                             lane, axis=-1,
                         )
                         val = jnp.where(rsel == krow, wk, val)
-                    half = (local & 1).astype(jnp.uint32)
-                    u16v = (val >> (16 * half)) & jnp.uint32(0xFFFF)
-                    is_vox = actp & (u16v >= jnp.uint32(0x8000)) & (page >= 0)
-                    vent = (u16v & jnp.uint32(0xFFF)).astype(jnp.int32)
-                    rl = ((u16v >> 12) & jnp.uint32(7)).astype(jnp.int32)
+                    is_vox = (
+                        actp & (val >= jnp.uint32(1 << 31)) & (page >= 0)
+                    )
+                    vent = ((val >> 14) & jnp.uint32(0x3FFF)).astype(jnp.int32)
+                    vrow = (val & jnp.uint32(0x3FFF)).astype(jnp.int32)
+                    rl = ((val >> 28) & jnp.uint32(7)).astype(jnp.int32)
                     atom = actp & ~is_vox
                     s["hit"] = jnp.where(atom, HIT_OUTER, s["hit"])
                     s["pidx"] = jnp.where(
-                        atom, (u16v & jnp.uint32(0x7FFF)).astype(jnp.int32),
+                        atom,
+                        (val & jnp.uint32(0xFFFF)).astype(jnp.int32),
                         s["pidx"],
                     )
                     s["mode"] = jnp.where(atom, MODE_DONE, s["mode"])
@@ -1317,9 +1438,12 @@ def _make_kernel2(
                     itmx = jnp.where(stx == 0, _INF, itmx)
                     itmy = jnp.where(sty == 0, _INF, itmy)
                     itmz = jnp.where(stz == 0, _INF, itmz)
-                    s["cx"] = jnp.where(is_vox, icx - ohx * stx, s["cx"])
-                    s["cy"] = jnp.where(is_vox, icy - ohy * sty, s["cy"])
-                    s["cz"] = jnp.where(is_vox, icz - ohz * stz, s["cz"])
+                    ecx = icx - ohx * stx
+                    ecy = icy - ohy * sty
+                    ecz = icz - ohz * stz
+                    s["cx"] = jnp.where(is_vox, ecx, s["cx"])
+                    s["cy"] = jnp.where(is_vox, ecy, s["cy"])
+                    s["cz"] = jnp.where(is_vox, ecz, s["cz"])
                     s["tmx"] = jnp.where(
                         is_vox, jnp.where(ohx == 1, t, itmx), s["tmx"]
                     )
@@ -1332,7 +1456,25 @@ def _make_kernel2(
                     s["tdx"] = jnp.where(is_vox, jnp.abs(ivx) / rf, s["tdx"])
                     s["tdy"] = jnp.where(is_vox, jnp.abs(ivy) / rf, s["tdy"])
                     s["tdz"] = jnp.where(is_vox, jnp.abs(ivz) / rf, s["tdz"])
-                    s["dom"] = jnp.where(is_vox, n_regions + vent, s["dom"])
+                    vdom = n_regions + vrow
+                    if has_r32:
+                        # R32 entries own 8 octant rows; start in the
+                        # octant of the ENTRY cube. The entry cube may
+                        # sit one virtual voxel outside the grid (the
+                        # one-early convention) — clip for the octant
+                        # only; the first step walks in.
+                        kcx = jnp.clip(ecx, 0, 31)
+                        kcy = jnp.clip(ecy, 0, 31)
+                        kcz = jnp.clip(ecz, 0, 31)
+                        oct0 = (
+                            ((kcx >> 4) & 1) * 4
+                            + ((kcy >> 4) & 1) * 2
+                            + ((kcz >> 4) & 1)
+                        )
+                        vdom = vdom + jnp.where(rl == 5, oct0, 0)
+                    s["dom"] = jnp.where(is_vox, vdom, s["dom"])
+                    s["vbase"] = jnp.where(is_vox, vrow, s["vbase"])
+                    s["pidx"] = jnp.where(is_vox, vent, s["pidx"])
                     s["resl"] = jnp.where(is_vox, rl, s["resl"])
                     s["mode"] = jnp.where(is_vox, MODE_WALK, s["mode"])
                     return s
@@ -1374,7 +1516,7 @@ def _run_kernel2(
     kern = _make_kernel2(
         ctx2.rdims, ctx2.size, ctx2.n_regions, n_domains, max_iters,
         substeps, has_vox, macro_steps=macro, domains_per_iter=domains,
-        grp=GROUP,
+        grp=GROUP, has_r32=ctx2.has_r32,
     )
 
     def shape2(a):
@@ -1414,14 +1556,14 @@ def _run_kernel2(
     static_argnames=(
         "rdims", "n_regions", "options", "include_sky", "phases",
         "kernel_iters", "substeps", "max_rounds", "interpret", "macro",
-        "domains", "has_vox", "group_rows",
+        "domains", "has_vox", "group_rows", "has_r32",
     ),
 )
 def _trace_pallas_impl2(
     state: SpaceState, o, d, l1, rows, page_idx, pages, *, rdims,
     n_regions, options, include_sky, phases, kernel_iters, substeps,
     max_rounds, interpret, macro=1, domains=1, has_vox=True,
-    group_rows=None,
+    group_rows=None, has_r32=False,
 ):
     size = state.contents.shape
     size_i = jnp.asarray(size, jnp.int32)
@@ -1436,7 +1578,7 @@ def _trace_pallas_impl2(
     ctx2 = BitmaskCtx2(
         rows=rows, l1=l1, page_idx=page_idx, pages=pages,
         rdims=rdims, size=size, n_regions=n_regions,
-        n_ventries=0,
+        n_ventries=0, has_r32=has_r32,
     )
 
     entry = ray_entry_setup(o, d, size_i, size_f)
@@ -1465,7 +1607,7 @@ def _trace_pallas_impl2(
         tmx=tmax0[:, 0], tmy=tmax0[:, 1], tmz=tmax0[:, 2],
         tdx=jnp.abs(inv_d[:, 0]), tdy=jnp.abs(inv_d[:, 1]),
         tdz=jnp.abs(inv_d[:, 2]),
-        resl=zi, mode=entry["hits_box"].astype(jnp.int32),
+        resl=zi, mode=entry["hits_box"].astype(jnp.int32), vbase=zi,
         hit=zi, pidx=zi, face=zi, t=zf, nt=zf, hx=zi, hy=zi, hz=zi,
         sdom=zi, scx=zi, scy=zi, scz=zi, stmx=zf, stmy=zf, stmz=zf,
     )
@@ -1513,9 +1655,12 @@ def _trace_pallas_impl2(
                 payload = st["pidx"]
             else:
                 payload = fetch_cell(st["hx"], st["hy"], st["hz"]) & 0xFFFF
-            ventry = st["dom"] - n_regions
+            # Voxel hits carry their ventry in pidx (the classify code's
+            # ventry field — the carried dom is a ROW index, offset by
+            # the octant for R32 entries, so it no longer identifies the
+            # entry by itself).
             vflat = (
-                ventry * vox_r3
+                st["pidx"] * vox_r3
                 + (st["hx"] * max_r + st["hy"]) * max_r + st["hz"]
             )
             block_cube = jnp.stack([st["scx"], st["scy"], st["scz"]], -1)

@@ -100,7 +100,7 @@ def main():
             tdz=jnp.abs(inv_d[:, 2]),
             resl=zi, mode=entry["hits_box"].astype(jnp.int32),
             hit=zi, pidx=zi, face=zi, t=zf, nt=zf, hx=zi, hy=zi, hz=zi,
-            sdom=zi, scx=zi, scy=zi, scz=zi, stmx=zf, stmy=zf, stmz=zf,
+            vbase=zi, sdom=zi, scx=zi, scy=zi, scz=zi, stmx=zf, stmy=zf, stmz=zf,
         )
         out = pt._run_kernel2(
             rays, st, ctx2, iters, substeps, False, 1, 1, rows_g

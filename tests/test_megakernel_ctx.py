@@ -47,20 +47,17 @@ class TestCtx2:
         assert ctx.pages is not None
         pidx = np.asarray(ctx.page_idx)[: ctx.n_regions, 0]
         assert (pidx >= 0).sum() == 1  # single occupied region owns a page
-        page = np.asarray(ctx.pages)[pidx.max() * 16 : pidx.max() * 16 + 16]
-        flat = np.zeros(REGION**3, np.uint32)
-        flat[0::2] = page.reshape(-1) & 0xFFFF
-        flat[1::2] = page.reshape(-1) >> 16
-        codes = flat.reshape(REGION, REGION, REGION)
+        page = np.asarray(ctx.pages)[pidx.max() * 32 : pidx.max() * 32 + 32]
+        codes = page.reshape(REGION, REGION, REGION)
 
         contents = np.asarray(st.contents)
         atom_code = codes[1, 2, 3]
         vox_code = codes[4, 2, 3]
-        assert atom_code < 0x8000 and atom_code == contents[1, 2, 3]
-        assert vox_code >= 0x8000
-        res_log2 = (vox_code >> 12) & 7
+        assert atom_code < 1 << 31 and atom_code == contents[1, 2, 3]
+        assert vox_code >= 1 << 31
+        res_log2 = (vox_code >> 28) & 7
         assert res_log2 == 2  # R4 block
-        ventry = vox_code & 0xFFF
+        ventry = (vox_code >> 14) & 0x3FFF
         vidx = np.asarray(st.tables.voxel_index)[contents[4, 2, 3]]
         assert ventry == vidx
 
@@ -68,13 +65,22 @@ class TestCtx2:
         sp = Space(GridAab.from_lower_size((0, 0, 0), (40, 8, 8)))
         sp.set((1, 1, 1), _voxel_block())
         ctx = build_bitmask_ctx2(sp.snapshot())
-        assert ctx.pages.shape[0] % (16 * 8) == 0
+        assert ctx.pages.shape[0] % (32 * 8) == 0
         # More occupied regions, same padded page-array shape while the
         # true page count stays under the same 8-boundary (jit stability
         # across small edits).
         sp.set((20, 1, 1), _voxel_block())
         ctx2 = build_bitmask_ctx2(sp.snapshot())
         assert ctx2.pages.shape == ctx.pages.shape
+
+    def test_r32_octant_rows(self):
+        sp = Space(GridAab.from_lower_size((0, 0, 0), (8, 8, 8)))
+        sp.set((2, 2, 2), _voxel_block(32))
+        sp.set((5, 2, 2), _voxel_block(4))
+        ctx = build_bitmask_ctx2(sp.snapshot())
+        assert ctx.has_r32
+        # rows: regions + 8 octant rows for the R32 entry + 1 for the R4.
+        assert ctx.rows.shape[0] == ctx.n_regions + 9
 
     def test_fits_rejects_huge_palettes(self):
         sp = Space(GridAab.from_lower_size((0, 0, 0), (4, 4, 4)))

@@ -97,6 +97,35 @@ def scene_voxels():
     return sp.snapshot()
 
 
+def scene_r32():
+    """An R32 voxel block (v2 walks it as 8 octant rows) + an R8 block
+    and atoms, with rays crossing octant boundaries inside the grid."""
+    inner32 = Space(GridAab.cube(32))
+    # Diagonal shelf crossing all 8 octants + a hollow interior.
+    inner32.fill(
+        GridAab.from_lower_size((0, 0, 0), (32, 6, 32)),
+        block.from_color((0.9, 0.7, 0.2, 1.0)),
+    )
+    for i in range(32):
+        inner32.set((i, min(i, 31), i), block.from_color((0.2, 0.4, 0.9, 1.0)))
+    inner32.set((20, 20, 8), block.from_color((0.9, 0.1, 0.1, 0.5)))
+    inner8 = Space(GridAab.cube(8))
+    inner8.fill(
+        GridAab.from_lower_size((0, 0, 0), (8, 8, 4)),
+        block.from_color((0.1, 0.8, 0.4, 1.0)),
+    )
+    sp = Space(
+        GridAab.cube(20), physics=SpacePhysics(sky=Sky.uniform((0.3, 0.32, 0.4)))
+    )
+    b32 = block.Block(block.Recur(space=inner32, resolution=32))
+    b8 = block.Block(block.Recur(space=inner8, resolution=8))
+    for c in [(3, 2, 3), (10, 2, 12), (16, 8, 6)]:
+        sp.set(c, b32)
+    sp.set((8, 2, 5), b8)
+    sp.set((13, 2, 8), block.from_color((0.8, 0.2, 0.2, 1.0)))
+    return sp.snapshot()
+
+
 class TestKernelParity:
     @pytest.mark.parametrize("mega", [False, True])
     def test_atoms_plain(self, mega):
@@ -118,6 +147,22 @@ class TestKernelParity:
         st = scene_voxels()
         o, d = grid_rays(32, 32, -2.0, (0.05, 19.95), (0.05, 19.95), (1.0, 0.08, 0.05))
         compare(st, o, d, OPTS_PLAIN, megakernel=mega)
+
+    def test_r32_blocks(self):
+        """R32 grids walk as 8 octant rows with in-grid domain hops."""
+        st = scene_r32()
+        o, d = grid_rays(
+            32, 32, -2.0, (0.05, 19.95), (0.05, 19.95), (1.0, 0.08, 0.05)
+        )
+        compare(st, o, d, OPTS_PLAIN, megakernel=True)
+
+    def test_r32_incoherent(self):
+        st = scene_r32()
+        rng = np.random.RandomState(5)
+        o = rng.uniform(-4, 24, (256, 3)).astype(np.float32)
+        d = rng.normal(size=(256, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        compare(st, o, d, OPTS_PLAIN, megakernel=True)
 
     def test_voxel_blocks_volumetric(self):
         st = scene_voxels()
