@@ -731,7 +731,7 @@ def trace_rays_pallas(
     max_rounds: int = 48,
     interpret: bool = False,
     return_stats: bool = False,
-    domains: int = 1,
+    domains: int | None = None,
     macro: int = 1,
     megakernel: bool | None = None,
     group_rows: int | None = None,
@@ -806,11 +806,21 @@ def trace_rays_pallas(
         d = jnp.concatenate([d, d_pad], axis=0)
 
     if megakernel:
-        # v2 defaults: one long launch per phase; small relaunch fuel;
-        # 8 fine steps per iteration (measured best on atrium 1080p).
+        # v2 defaults: one long launch per phase; 8 fine steps per
+        # iteration (measured best on atrium 1080p). Relaunch fuel 32:
+        # exhibit-dense scenes (demo-city) legitimately need up to ~8k
+        # iterations for tiles whose rays serialize over many voxel-grid
+        # domains; rounds only run while someone still walks, so frames
+        # that finish early never pay for the budget.
         kit = 256 if kernel_iters == 48 else kernel_iters
-        mr = 8 if max_rounds == 48 else max_rounds
+        mr = 128 if max_rounds == 48 else max_rounds
         sub = 8 if substeps == 4 else substeps
+        if domains is None:
+            # Domain-diverse scenes (many voxel-grid rows — demo-city
+            # has 648) serialize under min-domain stepping; advancing 4
+            # domains per iteration measured 1544 -> 601 ms there while
+            # costing ~3% on compact scenes (atrium, 36+ rows).
+            domains = 4 if ctx.rows.shape[0] > 256 else 1
         light, trans, unfinished = _trace_pallas_impl2(
             state, o, d, ctx.l1, ctx.rows, ctx.page_idx, ctx.pages,
             rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
@@ -825,7 +835,7 @@ def trace_rays_pallas(
             rdims=ctx.rdims, n_regions=ctx.n_regions, options=options,
             include_sky=include_sky, phases=phases, kernel_iters=kernel_iters,
             substeps=substeps, max_rounds=max_rounds, interpret=interpret,
-            domains=domains, macro=macro,
+            domains=domains or 1, macro=macro,
         )
     if tiled_hw is not None:
         H, W, Hp, Wp, T = tiled_hw
