@@ -232,36 +232,28 @@ def _interpolated_light_rows(state, rows, cube, point, face, mode: str):
     cube_f = jnp.asarray(cube, jnp.float32)
     iota18 = jnp.arange(18, dtype=jnp.int32)
 
-    # All 8 sample texels (2 planes x 4 bilinear corners) select from the
-    # SAME gathered row, so one [n,8,18]x[n,18,4] one-hot contraction
-    # reads the row data once instead of materializing a [n,18,4]
-    # broadcast per sample (8x the HBM traffic when XLA doesn't fuse).
-    def sample_idx(sample_point):
+    def texel_at(sample_point):
+        """Select the texel whose cube is floor(sample_point) from the row."""
         off = jnp.floor(sample_point) - cube_f  # each component ∈ {-1,0,1}
         su = jnp.asarray(jnp.round((off * u).sum(-1)), jnp.int32)
         sv = jnp.asarray(jnp.round((off * v).sum(-1)), jnp.int32)
         sn = jnp.asarray(jnp.round((off * n).sum(-1)), jnp.int32)
-        return jnp.clip(sn, 0, 1) * 9 + (jnp.clip(su, -1, 1) + 1) * 3 + (
+        idx = jnp.clip(sn, 0, 1) * 9 + (jnp.clip(su, -1, 1) + 1) * 3 + (
             jnp.clip(sv, -1, 1) + 1
         )
+        sel = (idx[..., None] == iota18).astype(jnp.float32)  # [n,18]
+        texel = jnp.einsum("...t,...tc->...c", sel, row.astype(jnp.float32))
+        return _decode_row_texel(texel.astype(jnp.uint8))
 
-    corners = ((-1.0, -1.0), (-1.0, 1.0), (1.0, -1.0), (1.0, 1.0))
-    pts = [
-        origin + dir1 * (0.5 * s1) + dir2 * (0.5 * s2)
-        for origin in (point + n * (1.0 - eps), point + n * eps)
-        for (s1, s2) in corners
-    ]
-    idx8 = jnp.stack([sample_idx(p) for p in pts], axis=-1)  # [n,8]
-    sel8 = (idx8[..., None] == iota18).astype(jnp.float32)  # [n,8,18]
-    tex8 = jnp.einsum("nkt,ntc->nkc", sel8, row.astype(jnp.float32))
-    rgbw8, valid8 = _decode_row_texel(tex8.astype(jnp.uint8))  # [n,8,4]
+    def fetch_2d(origin):
+        def get(s1, s2):
+            return texel_at(origin + dir1 * (0.5 * s1) + dir2 * (0.5 * s2))
 
-    def fetch_2d(plane):
-        near12 = rgbw8[:, plane * 4 + 0]
-        near1far2 = rgbw8[:, plane * 4 + 1]
-        near2far1 = rgbw8[:, plane * 4 + 2]
-        far12 = rgbw8[:, plane * 4 + 3]
-        leak = (~valid8[:, plane * 4 + 1]) & (~valid8[:, plane * 4 + 2])
+        near12, _ = get(-1.0, -1.0)
+        near1far2, v_nf = get(-1.0, 1.0)
+        near2far1, v_fn = get(1.0, -1.0)
+        far12, _ = get(1.0, 1.0)
+        leak = (~v_nf) & (~v_fn)
         far12 = jnp.where(leak[..., None], near12, far12)
         m2 = mix2[..., None]
         m1 = mix1[..., None]
@@ -269,8 +261,8 @@ def _interpolated_light_rows(state, rows, cube, point, face, mode: str):
         hi = near2far1 * (1 - m2) + far12 * m2
         return lo * (1 - m1) + hi * m1
 
-    in_front = fetch_2d(0)
-    same = fetch_2d(1)
+    in_front = fetch_2d(point + n * (1.0 - eps))
+    same = fetch_2d(point + n * eps)
     hmix = jnp.clip(height, 0.0, 1.0)[..., None]
     final = jnp.where(
         (height > 1.0 - eps)[..., None], in_front, same * (1 - hmix) + in_front * hmix
