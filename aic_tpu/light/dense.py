@@ -593,11 +593,65 @@ def _converge_xla(
     return light, passes
 
 
+def _coarse_state(state: SpaceState) -> SpaceState:
+    """2× downsampled relight view of a state (multigrid seed level).
+
+    Each coarse cube adopts the palette entry of its most light-blocking
+    child (mean alpha, with an emissive bonus so lamps survive
+    coarsening); odd extents pad with air. Only the fields the relight
+    path reads are remapped — `cells` (raytrace acceleration) keeps the
+    fine-level arrays and must not be used through this state.
+    """
+    c = state.contents
+    X, Y, Z = c.shape
+    Xc, Yc, Zc = -(-X // 2), -(-Y // 2), -(-Z // 2)
+    cp = jnp.pad(c, ((0, 2 * Xc - X), (0, 2 * Yc - Y), (0, 2 * Zc - Z)))
+    blocks = (
+        cp.reshape(Xc, 2, Yc, 2, Zc, 2)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(Xc, Yc, Zc, 8)
+    )
+    t = state.tables
+    alpha = jnp.clip(t.face_colors[:, 6, 3], 0.0, 1.0)
+    emissive = (t.light_emission != 0).any(-1).astype(jnp.float32)
+    score = alpha + 0.5 * emissive
+    s8 = jnp.take(score, blocks.astype(jnp.int32), axis=0)
+    pick = jnp.argmax(s8, axis=-1)
+    cc = jnp.take_along_axis(blocks, pick[..., None], axis=-1)[..., 0]
+    lp = jnp.pad(
+        state.light,
+        ((0, 2 * Xc - X), (0, 2 * Yc - Y), (0, 2 * Zc - Z), (0, 0)),
+    )
+    return dataclasses.replace(
+        state,
+        contents=cc,
+        light=lp[::2, ::2, ::2],
+        light_dirty=jnp.zeros((Xc, Yc, Zc), jnp.uint8),
+        light_max_distance=max(2, state.light_max_distance // 2),
+    )
+
+
+def _upsample_light(coarse_light, size):
+    """Nearest-neighbor 2× upsample of packed light (seed only: statuses
+    and values are recomputed by the first fine pass)."""
+    r = coarse_light
+    for ax in range(3):
+        r = jnp.repeat(r, 2, axis=ax)
+    return r[: size[0], : size[1], : size[2]]
+
+
+#: Volume (cubes) above which evaluate_light_dense runs a coarse-grid
+#: seed solve first. Below it the coarse level's compile + passes cost
+#: more than the fine passes they save.
+COARSE_SEED_MIN_VOLUME = 16384
+
+
 def evaluate_light_dense(
     state: SpaceState,
     max_passes: int = 32,
     ctx: RelightCtx | None = None,
     seed: bool = True,
+    coarse: bool = False,
 ):
     """Full-volume relight to convergence via Jacobi passes.
 
@@ -611,10 +665,34 @@ def evaluate_light_dense(
     (updater.rs:531-576 — the reference's own initialization before
     ``evaluate_light``): sky-lit columns start at their fixpoint value,
     which cuts the Jacobi pass count roughly in half on open scenes.
-    The fixpoint itself is seed-independent (each pass recomputes every
-    cube purely from contents + neighbor light).
+
+    `coarse` (volumes ≥ COARSE_SEED_MIN_VOLUME) first converges a 2×
+    downsampled copy of the scene and upsamples its light as the fine
+    seed — a depth-1 multigrid V-cycle. **Off by default: measured a
+    net LOSS on both bench scenes** (scripts/probe_coarse_seed_r5.py,
+    real chip: light_bench 15→14 fine passes but +0.15 s total;
+    cornell32 11→32 passes — max-alpha coarsening seals the ceiling
+    aperture, so the coarse equilibrium misleads enclosed scenes, and
+    the diff≤1 stop then parks far from the plain parking point). The
+    fast-light column seed already captures the open-scene equilibrium
+    the coarse level could offer. Kept as an opt-in with its tests for
+    the measured record.
     """
-    if seed:
+    size = state.contents.shape
+    if (
+        coarse
+        and min(size) >= 8
+        and int(np.prod(size)) >= COARSE_SEED_MIN_VOLUME
+    ):
+        cstate = _coarse_state(state)
+        cstate, _cpasses = evaluate_light_dense(
+            cstate, max_passes=max_passes, seed=seed, coarse=False
+        )
+        state = dataclasses.replace(
+            state, light=_upsample_light(cstate.light, size)
+        )
+        seed = False
+    elif seed:
         from .refproc import fast_evaluate_seed
 
         state, _prio = fast_evaluate_seed(state)
