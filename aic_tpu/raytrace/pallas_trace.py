@@ -828,6 +828,7 @@ def trace_rays_pallas(
             substeps=sub, max_rounds=mr, interpret=interpret,
             domains=domains, macro=macro, has_vox=ctx.pages is not None,
             group_rows=group_rows, has_r32=ctx.has_r32,
+            wide_pages=ctx.wide_pages,
         )
     else:
         light, trans, unfinished = _trace_pallas_impl(
@@ -896,17 +897,22 @@ class BitmaskCtx2(NamedTuple):
     rows: jax.Array  # u32[n_domains, 128] visibility bits (regions + vrows)
     l1: jax.Array  # u32[1, 128]
     page_idx: jax.Array | None  # i32[n_regions_pad, 8] region -> page or -1
-    pages: jax.Array | None  # u32[n_pages*32, 128] u32 classify codes
+    pages: jax.Array | None  # u32 classify codes (wide: 32 rows/page of
+    #   u32 codes; narrow: 16 rows/page of u16 pairs)
     rdims: tuple
     size: tuple
     n_regions: int
     n_ventries: int
     has_r32: bool
+    wide_pages: bool = False
 
 
-#: Page geometry: one u32 code per cube of a region → 16³ words = 32
-#: rows of 128 lanes.
+#: Page geometry, WIDE format: one u32 code per cube of a region → 16³
+#: words = 32 rows of 128 lanes. The narrow (u16-pair) format packs the
+#: same region into 16 rows — half the classify select-ladder, used
+#: whenever every code fits 16 bits (no R32, < 4096 ventries/palette).
 PAGE_ROWS = 32
+PAGE_ROWS_NARROW = 16
 
 
 def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
@@ -1011,16 +1017,36 @@ def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
             page_idx=None, pages=None, rdims=rd, size=(sx, sy, sz),
             n_regions=n_regions, n_ventries=n_ventries, has_r32=False,
         )
+    # Page format: narrow u16 pairs (16 rows/page, half the classify
+    # select-ladder) whenever every code fits 16 bits; wide u32 codes
+    # otherwise. In a no-R32 scene each ventry owns exactly one row, so
+    # vrow_base[v] == v and the u16 code's single 12-bit field serves as
+    # both ventry and row base.
+    wide = (
+        has_r32
+        or n_ventries >= (1 << 12)
+        or int(contents.max(initial=0)) >= 0x8000
+    )
     res_cube = res_log2[contents].astype(np.int64)
     vent_safe = np.maximum(ventry_cube, 0)
-    code = np.where(
-        vox_cube,
-        (1 << 31)
-        | (res_cube << 28)
-        | (vent_safe.astype(np.int64) << 14)
-        | vrow_base[vent_safe].astype(np.int64),
-        contents,
-    ).astype(np.uint32)
+    if wide:
+        code = np.where(
+            vox_cube,
+            (1 << 31)
+            | (res_cube << 28)
+            | (vent_safe.astype(np.int64) << 14)
+            | vrow_base[vent_safe].astype(np.int64),
+            contents,
+        ).astype(np.uint32)
+        page_rows = PAGE_ROWS
+    else:
+        assert (vrow_base[: n_ventries] == np.arange(n_ventries)).all()
+        code = np.where(
+            vox_cube,
+            0x8000 | (res_cube << 12) | vent_safe.astype(np.int64),
+            contents,
+        ).astype(np.uint32)
+        page_rows = PAGE_ROWS_NARROW
 
     page_idx = np.full(n_regions, -1, np.int32)
     page_list = []
@@ -1038,15 +1064,18 @@ def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
                 codes = np.zeros((REGION, REGION, REGION), np.uint32)
                 s = code[sl]
                 codes[: s.shape[0], : s.shape[1], : s.shape[2]] = s
+                flat = codes.reshape(-1)
+                if not wide:
+                    flat = flat[0::2] | (flat[1::2] << 16)
                 page_idx[rid] = len(page_list)
                 page_list.append(
-                    codes.reshape(PAGE_ROWS, 128).astype(np.uint32)
+                    flat.reshape(page_rows, 128).astype(np.uint32)
                 )
     # Pad the page count to a multiple of 8 so small occupancy changes
     # between animation frames keep the pages array shape (and thus the
     # jitted tracer program) stable.
     while len(page_list) % 8:
-        page_list.append(np.zeros((PAGE_ROWS, 128), np.uint32))
+        page_list.append(np.zeros((page_rows, 128), np.uint32))
     pages = np.concatenate(page_list, axis=0)
     npad = -(-n_regions // 8) * 8
     pidx = np.zeros((npad, 8), np.int32)
@@ -1057,6 +1086,7 @@ def build_bitmask_ctx2(state: SpaceState) -> BitmaskCtx2:
         pages=jnp.asarray(pages),
         rdims=rd, size=(sx, sy, sz),
         n_regions=n_regions, n_ventries=n_ventries, has_r32=has_r32,
+        wide_pages=wide,
     )
 
 
@@ -1110,6 +1140,7 @@ _STATE2_DTYPES = {
 def _make_kernel2(
     rdims, size, n_regions, n_domains, max_iters, substeps, has_vox,
     macro_steps=1, domains_per_iter=1, grp=GROUP, has_r32=False,
+    wide_pages=False,
 ):
     rdy, rdz = rdims[1], rdims[2]
     sx, sy, sz = size
@@ -1383,36 +1414,54 @@ def _make_kernel2(
                     hxc, hyc, hzc = s["hx"] & 15, s["hy"] & 15, s["hz"] & 15
                     local = (((hxc << 4) + hyc) << 4) + hzc
                     page = pidx_ref[safe_p, 0]
-                    # Classify code: one u32 per cube, PAGE_ROWS rows per
-                    # page. Rays hit only visible cubes, whose regions
-                    # always own a page.
+                    # Classify code fetch. Rays hit only visible cubes,
+                    # whose regions always own a page. Wide: one u32 per
+                    # cube, PAGE_ROWS rows/page. Narrow: u16 pairs in
+                    # PAGE_ROWS_NARROW rows/page — half the select
+                    # ladder, used whenever every code fits 16 bits.
+                    n_prows = PAGE_ROWS if wide_pages else PAGE_ROWS_NARROW
                     prows = pages_ref[
-                        pl.dslice(
-                            jnp.maximum(page, 0) * PAGE_ROWS, PAGE_ROWS
-                        ), :
+                        pl.dslice(jnp.maximum(page, 0) * n_prows, n_prows),
+                        :,
                     ]
-                    lane = jnp.clip(local & 127, 0, 127)
-                    rsel = local >> 7
+                    if wide_pages:
+                        lane = jnp.clip(local & 127, 0, 127)
+                        rsel = local >> 7
+                    else:
+                        lane = jnp.clip((local >> 1) & 127, 0, 127)
+                        rsel = local >> 8
                     val = jnp.zeros(GROUP, jnp.uint32)
-                    for krow in range(PAGE_ROWS):
+                    for krow in range(n_prows):
                         wk = jnp.take_along_axis(
                             jnp.broadcast_to(prows[krow : krow + 1, :], GROUP),
                             lane, axis=-1,
                         )
                         val = jnp.where(rsel == krow, wk, val)
-                    is_vox = (
-                        actp & (val >= jnp.uint32(1 << 31)) & (page >= 0)
-                    )
-                    vent = ((val >> 14) & jnp.uint32(0x3FFF)).astype(jnp.int32)
-                    vrow = (val & jnp.uint32(0x3FFF)).astype(jnp.int32)
-                    rl = ((val >> 28) & jnp.uint32(7)).astype(jnp.int32)
+                    if wide_pages:
+                        is_vox = (
+                            actp & (val >= jnp.uint32(1 << 31)) & (page >= 0)
+                        )
+                        vent = (
+                            (val >> 14) & jnp.uint32(0x3FFF)
+                        ).astype(jnp.int32)
+                        vrow = (val & jnp.uint32(0x3FFF)).astype(jnp.int32)
+                        rl = ((val >> 28) & jnp.uint32(7)).astype(jnp.int32)
+                        atom_pidx = (val & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                    else:
+                        half = (local & 1).astype(jnp.uint32)
+                        u16v = (val >> (16 * half)) & jnp.uint32(0xFFFF)
+                        is_vox = (
+                            actp & (u16v >= jnp.uint32(0x8000)) & (page >= 0)
+                        )
+                        vent = (u16v & jnp.uint32(0xFFF)).astype(jnp.int32)
+                        vrow = vent  # one row per entry in no-R32 scenes
+                        rl = ((u16v >> 12) & jnp.uint32(7)).astype(jnp.int32)
+                        atom_pidx = (
+                            u16v & jnp.uint32(0x7FFF)
+                        ).astype(jnp.int32)
                     atom = actp & ~is_vox
                     s["hit"] = jnp.where(atom, HIT_OUTER, s["hit"])
-                    s["pidx"] = jnp.where(
-                        atom,
-                        (val & jnp.uint32(0xFFFF)).astype(jnp.int32),
-                        s["pidx"],
-                    )
+                    s["pidx"] = jnp.where(atom, atom_pidx, s["pidx"])
                     s["mode"] = jnp.where(atom, MODE_DONE, s["mode"])
 
                     # push: save outer registers, enter the voxel grid one
@@ -1526,7 +1575,7 @@ def _run_kernel2(
     kern = _make_kernel2(
         ctx2.rdims, ctx2.size, ctx2.n_regions, n_domains, max_iters,
         substeps, has_vox, macro_steps=macro, domains_per_iter=domains,
-        grp=GROUP, has_r32=ctx2.has_r32,
+        grp=GROUP, has_r32=ctx2.has_r32, wide_pages=ctx2.wide_pages,
     )
 
     def shape2(a):
@@ -1566,14 +1615,14 @@ def _run_kernel2(
     static_argnames=(
         "rdims", "n_regions", "options", "include_sky", "phases",
         "kernel_iters", "substeps", "max_rounds", "interpret", "macro",
-        "domains", "has_vox", "group_rows", "has_r32",
+        "domains", "has_vox", "group_rows", "has_r32", "wide_pages",
     ),
 )
 def _trace_pallas_impl2(
     state: SpaceState, o, d, l1, rows, page_idx, pages, *, rdims,
     n_regions, options, include_sky, phases, kernel_iters, substeps,
     max_rounds, interpret, macro=1, domains=1, has_vox=True,
-    group_rows=None, has_r32=False,
+    group_rows=None, has_r32=False, wide_pages=False,
 ):
     size = state.contents.shape
     size_i = jnp.asarray(size, jnp.int32)
@@ -1588,7 +1637,7 @@ def _trace_pallas_impl2(
     ctx2 = BitmaskCtx2(
         rows=rows, l1=l1, page_idx=page_idx, pages=pages,
         rdims=rdims, size=size, n_regions=n_regions,
-        n_ventries=0, has_r32=has_r32,
+        n_ventries=0, has_r32=has_r32, wide_pages=wide_pages,
     )
 
     entry = ray_entry_setup(o, d, size_i, size_f)
